@@ -1,0 +1,19 @@
+"""movie_etl_spark — a PySpark-native analytics engine.
+
+A brand-new, Spark-first rebuild of the query and data-processing
+capabilities of the reference ETL pipeline (``alfiannajih/movie-etl``),
+re-expressed as lazy, set-oriented DataFrame transformations that scale
+from a laptop (``local[*]``) to a multi-thousand-executor cluster.
+
+Layout
+------
+- :mod:`movie_etl_spark.session`    — SparkSession factory + table IO
+- :mod:`movie_etl_spark.schemas`    — explicit StructTypes for the document model
+- :mod:`movie_etl_spark.functions`  — pure Column-level scalar functions
+- :mod:`movie_etl_spark.operators`  — DataFrame -> DataFrame operators
+- :mod:`movie_etl_spark.sources`    — readers + seeded dimension data
+- :mod:`movie_etl_spark.plans`      — gold-layer graph builders + query catalog
+- :mod:`movie_etl_spark.streaming`  — Structured Streaming operators
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,33 @@
+"""Pure Column-level scalar functions (no shuffles, no UDFs unless noted)."""
+
+from movie_etl_spark.functions.cleaning import (  # noqa: F401
+    DEPARTMENT_TO_RELATIONSHIP,
+    GENDER_LABELS,
+    decode_department,
+    decode_gender,
+    magnitude_to_number,
+    nullif_empty,
+    nullif_zero,
+    parse_count_with_commas,
+    parse_percent,
+    parse_review_count,
+    relationship_id,
+    scale_score_x10,
+    to_date_col,
+)
+from movie_etl_spark.functions.text import (  # noqa: F401
+    char_shingles,
+    doc_fingerprint,
+    language_scores,
+    md5_band,
+    normalize_text,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from movie_etl_spark.functions.vectors import (  # noqa: F401
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)

@@ -1,0 +1,149 @@
+"""Scalar "clean" functions — the Spark-native form of the reference's
+dict-level cleaners.
+
+Each helper is a pure ``Column -> Column`` expression, so it stays inside
+whole-stage codegen (no Python in the hot path) and composes with any
+projection. Reference parity citations are in each docstring
+(paths relative to /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- sentinel -> NULL coercion (reference: tasks/etl_task.py:186-194,
+# :218, :235-237, :254-258 — ""->None for text fields, 0->None for
+# popularity/budget/revenue/runtime) -----------------------------------
+
+
+def nullif_empty(col: Column | str) -> Column:
+    """Empty-string sentinel to NULL (``nullif(c, '')``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(c, F.lit(""))
+
+
+def nullif_zero(col: Column | str) -> Column:
+    """Zero sentinel to NULL (``nullif(c, 0)``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(c, F.lit(0))
+
+
+# --- dimension decodes (reference: utils/etl.py:10-39) -----------------
+
+#: gender int 0-3 -> label (utils/etl.py:10-15,31-34)
+GENDER_LABELS: dict[int, str] = {
+    0: "Not specified",
+    1: "Female",
+    2: "Male",
+    3: "Non-binary",
+}
+
+#: crew department -> relationship type (utils/etl.py:17-29,36-39).
+#: Unknown department raises KeyError in the reference (inner-join
+#: semantics); here unmatched rows decode to NULL and the caller decides
+#: drop-vs-keep explicitly.
+DEPARTMENT_TO_RELATIONSHIP: dict[str, str] = {
+    "Writing": "WRITTEN_BY",
+    "Editing": "EDITED_BY",
+    "Crew": "CREW_BY",
+    "Directing": "DIRECTED_BY",
+    "Camera": "CAMERA_BY",
+    "Lighting": "LIGHTNING_BY",
+    "Costume & Make-Up": "COSTUMED_AND_MAKEUP_BY",
+    "Sound": "SOUND_BY",
+    "Production": "PRODUCED_BY",
+    "Art": "ART_BY",
+    "Visual Effects": "VISUAL_EFFECTS_BY",
+}
+
+
+def _literal_map(mapping: dict) -> Column:
+    """A tiny dim as a literal MAP expression — constant-folded by
+    Catalyst, no join, no broadcast needed."""
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+def decode_gender(col: Column | str) -> Column:
+    """Gender int -> label via literal map lookup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _literal_map(GENDER_LABELS)[c]
+
+
+def decode_department(col: Column | str) -> Column:
+    """Crew department -> relationship type; NULL for unknown."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _literal_map(DEPARTMENT_TO_RELATIONSHIP)[c]
+
+
+# --- scraped-number parsers (reference: tasks/etl_task.py:363-380,
+# :425-436; utils/etl.py:60-85) ----------------------------------------
+
+
+def magnitude_to_number(col: Column | str) -> Column:
+    """Parse "1.2K"/"3.4M"/"2B" magnitude-suffixed counts to BIGINT
+    (tasks/etl_task.py:363-373)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.trim(c)
+    suffix = F.upper(F.substring(c, -1, 1))
+    body = F.regexp_replace(c, r"[KMBkmb]$", "").cast("double")
+    return (
+        F.when(suffix == "K", body * 1_000)
+        .when(suffix == "M", body * 1_000_000)
+        .when(suffix == "B", body * 1_000_000_000)
+        .otherwise(c.cast("double"))
+        .cast("bigint")
+    )
+
+
+def scale_score_x10(col: Column | str) -> Column:
+    """0-10 score -> 0-100 int (tasks/etl_task.py:378; utils/etl.py:80
+    applies x10 only when fractional — that variant is
+    ``when(instr(c,'.') > 0, ...)`` at the call site)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("double") * 10).cast("int")
+
+
+def parse_percent(col: Column | str) -> Column:
+    """Extract the integer before a percent sign
+    (``re.search(r"\\d+(?=%)")`` at tasks/etl_task.py:428,435)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.regexp_extract(c, r"(\d+)%", 1), F.lit("")).cast("int")
+
+
+def parse_count_with_commas(col: Column | str) -> Column:
+    """Extract a comma-grouped count and strip separators
+    (tasks/etl_task.py:429,436)."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.regexp_extract(c, r"(\d[\d,]*)", 1)
+    return F.nullif(F.regexp_replace(raw, ",", ""), F.lit("")).cast("bigint")
+
+
+def parse_review_count(col: Column | str) -> Column:
+    """Count preceding "Review(s)"/"Rating(s)" (utils/etl.py:69-71)."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.regexp_extract(c, r"(\d+) (?:Reviews|Ratings|Review|Rating)", 1)
+    return F.nullif(raw, F.lit("")).cast("bigint")
+
+
+# --- graph helpers ------------------------------------------------------
+
+
+def relationship_id(head: Column | str, tail: Column | str) -> Column:
+    """Synthetic edge key ``f"{head_id}-{tail_id}"``
+    (tasks/kg_task.py:61)."""
+    h = F.col(head) if isinstance(head, str) else head
+    t = F.col(tail) if isinstance(tail, str) else tail
+    return F.concat_ws("-", h.cast("string"), t.cast("string"))
+
+
+def to_date_col(col: Column | str, fmt: str = "yyyy-MM-dd") -> Column:
+    """"YYYY-MM-DD" string -> DATE (utils/etl.py:161-163 wraps declared
+    date_keys in ``datetime()`` at KG load; here it is a real date type
+    from the silver layer on)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.to_date(c, fmt)

@@ -1,0 +1,109 @@
+"""Text-analysis Column functions for the LLM-data-pipeline surface.
+
+All JVM-side expressions (split/regexp/md5/aggregate) — no Python UDFs —
+so they vectorize inside whole-stage codegen and scale linearly with
+input bytes. md5 is used as the deterministic hash everywhere because it
+is bit-identical across engines (Spark, DuckDB), which makes every one
+of these operators oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+#: tiny per-language stopword marker sets for the n-gram language-ID
+#: heuristic. Deliberately small and deterministic.
+LANGUAGE_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "es": ["el", "la", "los", "que", "con"],
+    "fr": ["le", "les", "des", "est", "avec"],
+    "de": ["der", "die", "und", "ist", "mit"],
+    "zh": ["de5", "shi4", "he2", "zai4", "le5"],
+}
+
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse runs,
+    trim — the canonical form used for fingerprints and exact dedup."""
+    c = _c(col)
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization to array<string> (empty-safe)."""
+    c = _c(col)
+    return F.filter(F.split(c, TOKEN_PATTERN), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count as BIGINT."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = _c(col)
+    total = F.length(c)
+    clean = F.length(F.regexp_replace(c, r"[^A-Za-z0-9 ]", ""))
+    return F.when(total > 0, (total - clean) / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of tokens that are common stopwords (quality signal)."""
+    toks = tokens(_c(col))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def language_scores(col: Column | str) -> Column:
+    """Heuristic language ID: argmax over per-language marker-token hit
+    counts; returns the winning language code ('und' when no marker
+    hits). Deterministic tie-break by language code order."""
+    toks = F.transform(tokens(_c(col)), lambda t: F.lower(t))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANGUAGE_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANGUAGE_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Used for exact near-layout dedup; identical in any engine with md5."""
+    return F.md5(normalize_text(col))
+
+
+def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
+    """Character k-shingles (window k, step ``stride``) over normalized
+    text, as array<string>. Expression-only: a sequence() of offsets
+    transformed through substring — no explode until the caller wants
+    rows, so shingling composes with any projection."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    # positions 1, 1+stride, ... while a full window fits (plus one
+    # trailing shingle so short docs are never empty)
+    last = F.greatest(n - F.lit(k) + 1, F.lit(1))
+    offsets = F.sequence(F.lit(1), last, F.lit(stride))
+    return F.transform(offsets, lambda i: norm.substr(i, F.lit(k)))
+
+
+def md5_band(cols: list[Column]) -> Column:
+    """Hash a band of minhash values into one bucket key."""
+    return F.md5(F.concat_ws("|", *cols))

@@ -1,0 +1,37 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Implemented with ``zip_with`` + ``aggregate`` higher-order functions so
+the arithmetic runs JVM-side in strict element order (deterministic
+left-fold — reproducible across runs and comparable against an ordered
+oracle). Elements are cast to double before multiply-accumulate, so
+float32 products are exact in the 53-bit mantissa.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Ordered-fold dot product of two equal-length float arrays."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean norm, ordered fold."""
+    sq = F.aggregate(
+        _c(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL-safe on zero-norm vectors."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom)

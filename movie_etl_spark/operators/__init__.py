@@ -1,0 +1,37 @@
+"""DataFrame -> DataFrame operators (the engine's physical surface)."""
+
+from movie_etl_spark.operators.clean import (  # noqa: F401
+    clean_collection_details,
+    clean_company_details,
+    clean_movie_details,
+    clean_person_details,
+    discover_movies,
+)
+from movie_etl_spark.operators.reshape import (  # noqa: F401
+    explode_bridge,
+    explode_cast,
+    explode_crew,
+    invert_watch_providers,
+)
+from movie_etl_spark.operators.joins import (  # noqa: F401
+    build_edges,
+    hierarchy_closure,
+    keep_existing,
+    keep_new,
+)
+from movie_etl_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    near_dup_pairs_minhash,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from movie_etl_spark.operators.upsert import (  # noqa: F401
+    assert_unique,
+    insert_if_absent,
+    rollback_key,
+)
+from movie_etl_spark.operators.similarity import (  # noqa: F401
+    brute_force_top_k,
+    lsh_top_k,
+)

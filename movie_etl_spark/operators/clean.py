@@ -1,0 +1,132 @@
+"""Clean operators: raw nested documents -> flat silver tables.
+
+These are the set-oriented versions of the reference's per-row dict
+cleaners (SURVEY.md §2.2). Each takes the whole raw DataFrame and
+returns the cleaned projection — one Catalyst plan for all movies at
+once instead of one Python loop iteration per movie.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from movie_etl_spark.functions.cleaning import (
+    decode_gender,
+    nullif_empty,
+    nullif_zero,
+    to_date_col,
+)
+
+
+def discover_movies(
+    raw_movies: DataFrame,
+    start_date: str,
+    end_date: str,
+    vote_count_minimum: int = 10,
+    original_language: str | None = None,
+) -> DataFrame:
+    """S1 — the reference's entry computation (tasks/etl_task.py:30-76):
+    date-window + vote-count + adult predicates, optional language,
+    sorted id projection.
+
+    Scale: every predicate is a plain Column comparison, so Catalyst
+    pushes all of them into the parquet scan (PushedFilters) and prunes
+    to the 4 referenced columns; the sort is a range-partitioned shuffle
+    only on the surviving ids.
+    """
+    pred = (
+        F.col("release_date").between(F.lit(start_date), F.lit(end_date))
+        & (F.col("vote_count") >= F.lit(vote_count_minimum))
+        & ~F.col("adult")
+    )
+    if original_language is not None:
+        pred = pred & (F.col("original_language") == F.lit(original_language))
+    return (
+        raw_movies.filter(pred)
+        .orderBy(F.col("release_date").asc(), F.col("id").asc())
+        .select(F.col("id").alias("movie_id"))
+    )
+
+
+def _person_struct(x: Column, with_character: bool) -> Column:
+    fields = [
+        x["id"].alias("person_id"),
+        x["name"].alias("name"),
+        x["gender"].alias("gender"),
+    ]
+    if with_character:
+        fields.append(x["character"].alias("character"))
+    else:
+        fields.append(x["job"].alias("job"))
+        fields.append(x["department"].alias("department"))
+    return F.struct(*fields)
+
+
+def clean_movie_details(raw: DataFrame) -> DataFrame:
+    """C1 — 17-field projection of the nested movie doc
+    (tasks/etl_task.py:151-203): flatten nested ids, per-element
+    transform over cast/crew, id arrays from the dimension arrays, and
+    the sentinel->NULL coercions.
+
+    All nested access is expression-level (``transform``), so Catalyst
+    prunes unread struct fields out of the scan; no explode happens here
+    (reshape operators explode on demand).
+    """
+    return raw.select(
+        F.col("id").alias("movie_id"),
+        F.col("title"),
+        nullif_empty("overview").alias("overview"),
+        to_date_col("release_date").alias("release_date"),
+        nullif_zero("popularity").alias("popularity"),
+        nullif_zero("budget").alias("budget"),
+        nullif_zero("revenue").alias("revenue"),
+        nullif_zero("runtime").alias("runtime"),
+        F.col("belongs_to_collection.id").alias("collection_id"),
+        F.col("external_ids.wikidata_id").alias("wiki_id"),
+        F.col("external_ids.imdb_id").alias("imdb_id"),
+        F.transform("credits.cast", lambda x: _person_struct(x, True)).alias("casts"),
+        F.transform("credits.crew", lambda x: _person_struct(x, False)).alias("crews"),
+        F.transform("genres", lambda g: g["id"]).alias("genre_ids"),
+        F.transform("production_companies", lambda c: c["id"]).alias("company_ids"),
+        F.transform("spoken_languages", lambda l: l["iso_639_1"]).alias("language_ids"),
+        F.transform("production_countries", lambda c: c["iso_3166_1"]).alias(
+            "country_ids"
+        ),
+        F.col("watch_providers"),
+    )
+
+
+def clean_collection_details(raw: DataFrame) -> DataFrame:
+    """C2 (tasks/etl_task.py:210-219)."""
+    return raw.select(
+        F.col("id").alias("collection_id"),
+        F.col("name"),
+        nullif_empty("overview").alias("overview"),
+    )
+
+
+def clean_company_details(raw: DataFrame) -> DataFrame:
+    """C3 (tasks/etl_task.py:226-238)."""
+    return raw.select(
+        F.col("id").alias("company_id"),
+        F.col("parent_company.id").alias("parent_company_id"),
+        F.col("name"),
+        nullif_empty("description").alias("description"),
+        nullif_empty("origin_country").alias("country_id"),
+        nullif_empty("headquarters").alias("head_quarters"),
+    )
+
+
+def clean_person_details(raw: DataFrame) -> DataFrame:
+    """C4 (tasks/etl_task.py:245-259): gender decode + sentinel nulls."""
+    return raw.select(
+        F.col("id").alias("person_id"),
+        F.col("name"),
+        decode_gender("gender").alias("gender"),
+        nullif_empty("biography").alias("biography"),
+        nullif_empty("place_of_birth").alias("place_of_birth"),
+        to_date_col(nullif_empty("birthday")).alias("birthday"),
+        to_date_col(nullif_empty("deathday")).alias("deathday"),
+        nullif_zero("popularity").alias("popularity"),
+    )

@@ -1,0 +1,230 @@
+"""Deduplication operators for the LLM-data-pipeline surface.
+
+Engine extension (no reference equivalent; the reference's dedup is
+store-constraint-based, SURVEY.md §2.7). Everything here is built on
+deterministic md5 hashing so each operator is reproducible across
+engines and oracle-checkable.
+
+Scale design:
+- exact dedup:        one hash-shuffle on the fingerprint.
+- minhash LSH:        shingle explode is pipelined (no shuffle), ONE
+                      groupBy builds the whole k-wide signature,
+                      band-bucket self-join only compares docs sharing a
+                      band (candidate set ~linear, not O(n^2)), exact
+                      jaccard verification only on candidates.
+- simhash:            token explode + one groupBy; near-dup = hamming
+                      distance on the compact signature.
+At 100 TB none of these ever materialize a pairwise cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from movie_etl_spark.functions.text import char_shingles, doc_fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact (normalized) dedup: keep the lowest id per fingerprint.
+
+    min-by-key via groupBy — one shuffle, fully parallel; survivors
+    joined back for full rows would be a second (semi) join if needed.
+    """
+    fp = df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+
+
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int, stride: int) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(char_shingles(text_col, k, stride))).alias("shingle"),
+    )
+
+
+def _minhash_expr(i: int, shingle: Column) -> Column:
+    """Hash function i: md5 with an index salt. Lexicographic MIN over
+    md5 hex strings is a valid uniform minhash and is engine-portable."""
+    return F.min(F.md5(F.concat(F.lit(f"{i}:"), shingle))).alias(f"mh_{i}")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 8,
+    shingle_stride: int = 4,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) — the whole signature in ONE aggregation."""
+    sh = _shingle_rows(df, text_col, id_col, shingle_k, shingle_stride)
+    return sh.groupBy(id_col).agg(
+        *[_minhash_expr(i, F.col("shingle")) for i in range(num_hashes)]
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 8,
+    shingle_stride: int = 4,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs with exact-jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 decimals (ratio of integer counts — exact in both engines).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_stride)
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh_{b * band_size + r}")
+                                    for r in range(band_size)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+    left = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sh = _shingle_rows(df, text_col, id_col, shingle_k, shingle_stride)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return jac
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_ngram_freq: int = 20,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs.
+
+    Candidate generation: pairs sharing at least one *rare* n-gram
+    (document frequency <= max_ngram_freq) — an inverted-index join that
+    avoids the O(n^2) cross product; frequency-capping keeps hub n-grams
+    from exploding the candidate set (classic skew control).
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    ).filter(F.length("gram") > 0)
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("df_count"))
+    rare = grams.join(
+        df_counts.filter(F.col("df_count") <= max_ngram_freq).select("gram"), "gram"
+    )
+    cand = (
+        rare.select(F.col(id_col).alias("id_a"), "gram")
+        .join(rare.select(F.col(id_col).alias("id_b"), "gram"), "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    g_a = grams.select(F.col(id_col).alias("id_a"), "gram")
+    g_b = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        cand.join(g_a, "id_a")
+        .join(g_b, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash signature per document over whitespace tokens.
+
+    Token hash = first 8 md5 hex chars as a 32-bit int (engine-portable);
+    signature bit b is the sign of sum(+1/-1) over token bit b. One
+    explode + one groupBy; the signature assembles from ``bits``
+    conditional sums in a single aggregation.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,120 @@
+"""Join operators: existence semi/anti, referential edges, hierarchy
+closure (SURVEY.md §2.4).
+
+The reference does all of these one row at a time over the network
+(point SELECTs / MATCH probes). Set-oriented equivalents:
+
+- existence probe (J1/J2)      -> left_semi / left_anti join
+- referential edge build (J3)  -> double inner join on both endpoints
+- parent-company walk (J4)     -> iterative self-join to fixpoint
+
+Scale notes: endpoint tables that are dimensions (genres, languages,
+countries, providers — all bounded) are broadcast; fact-to-fact joins
+are left to Catalyst + AQE (sort-merge or shuffled hash, skew-split at
+runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_etl_spark.functions.cleaning import relationship_id
+
+
+def keep_existing(df: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """J1/J2 existence probe, set form: rows of ``df`` whose key IS
+    present in ``existing`` (utils/etl.py:41-58, :169-181)."""
+    return df.join(existing.select(*keys), on=keys, how="left_semi")
+
+
+def keep_new(df: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """The insert-guard dual: rows NOT present yet (feeds
+    insert-if-absent, D1/D2)."""
+    return df.join(existing.select(*keys), on=keys, how="left_anti")
+
+
+def build_edges(
+    edges: DataFrame,
+    head_nodes: DataFrame,
+    tail_nodes: DataFrame,
+    head_key: str,
+    tail_key: str,
+    rel_type: str,
+    payload: list[str] | None = None,
+    broadcast_tails: bool = False,
+) -> DataFrame:
+    """J3/K4 — referential-integrity edge builder
+    (tasks/kg_task.py:43-80): an edge exists only if BOTH endpoints
+    exist, i.e. two inner (semi) joins, plus the synthetic
+    ``relationship_id`` (kg_task.py:61).
+
+    ``broadcast_tails`` marks the tail node table as a broadcastable
+    dimension (genre/language/country/provider — always small).
+    """
+    payload = payload or []
+    tails = tail_nodes.select(tail_key).dropDuplicates([tail_key])
+    if broadcast_tails:
+        tails = F.broadcast(tails)
+    out = (
+        edges.join(head_nodes.select(head_key).dropDuplicates([head_key]), head_key, "left_semi")
+        .join(tails, tail_key, "left_semi")
+        .select(
+            F.col(head_key).alias("head_id"),
+            F.col(tail_key).alias("tail_id"),
+            *[F.col(p) for p in payload],
+        )
+        .withColumn("rel_type", F.lit(rel_type))
+        .withColumn("relationship_id", relationship_id("head_id", "tail_id"))
+    )
+    return out
+
+
+def hierarchy_closure(
+    children: DataFrame,
+    id_col: str,
+    parent_col: str,
+    max_depth: int = 20,
+) -> DataFrame:
+    """J4 — iterative closure over a parent hierarchy
+    (flows/etl_flow.py:364-423's parent-company walk, rebuilt with the
+    *intended* set semantics: dedup by id, no duplicate appends).
+
+    Returns ``(id, root_id, depth)`` — every node resolved to its
+    ultimate ancestor. Spark has no recursive CTE, so this is a
+    driver-side loop of self-joins with a depth cap; each round only
+    carries still-unresolved rows, and converges in O(max chain depth)
+    rounds (company chains in the reference data are short, 2-3).
+    """
+    edges = children.select(
+        F.col(id_col).alias("_id"), F.col(parent_col).alias("_parent")
+    ).dropDuplicates(["_id"])
+
+    frontier = edges.select(
+        "_id",
+        F.coalesce("_parent", "_id").alias("_root"),
+        F.when(F.col("_parent").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("_depth"),
+        F.col("_parent").isNotNull().alias("_open"),
+    )
+    for _ in range(max_depth):
+        open_rows = frontier.filter("_open")
+        if open_rows.isEmpty():
+            break
+        parents = edges.withColumnRenamed("_id", "_root")
+        stepped = (
+            open_rows.join(parents, "_root", "left")
+            .select(
+                "_id",
+                F.coalesce("_parent", F.col("_root")).alias("_root"),
+                (F.col("_depth") + F.when(F.col("_parent").isNotNull(), 1).otherwise(0)).alias(
+                    "_depth"
+                ),
+                F.col("_parent").isNotNull().alias("_open"),
+            )
+        )
+        frontier = stepped.unionByName(frontier.filter(~F.col("_open"))).localCheckpoint()
+    return frontier.select(
+        F.col("_id").alias(id_col),
+        F.col("_root").alias("root_id"),
+        F.col("_depth").alias("depth"),
+    )

@@ -1,0 +1,101 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (engine extension for LLM data pipelines).
+
+The decode step itself is STUBBED (no image/audio libraries in this
+environment): ``decode_image_stub`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake (derived from the md5
+of the payload) stands in so the Spark-side plumbing — schema,
+Arrow batch shape, partitioning — is real and testable.
+
+Everything runs through ``mapInPandas`` so payload bytes move
+driver-free through Arrow record batches; at 100 TB the pattern is:
+binary parquet columns in, bounded-size Arrow batches through a
+vectorized Python stage, typed feature columns out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, fake: bool = False) -> list[float]:
+    """Placeholder for a real image decode + feature extraction.
+
+    Real implementation would use PIL/torchvision here. The fake path
+    derives an 8-dim feature deterministically from the payload bytes so
+    tests exercise the full distributed path.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/libvips — not available in this environment"
+        )
+    digest = hashlib.md5(payload or b"").digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Decode/feature-extract binary assets via an Arrow-batched
+    ``mapInPandas`` stage. Input schema: schemas.MULTIMODAL_ASSET."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "byte_len": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                    "feature": payloads.map(
+                        lambda b: decode_image_stub(b or b"", fake=fake_decode)
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video assets: one output row per sampled
+    timestamp. The frame *extraction* is stubbed (payload passthrough);
+    the row fan-out — the part that matters for partitioning — is a real
+    expression-level ``sequence`` + ``explode`` (no Python)."""
+    return (
+        assets.filter(F.col("modality") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("asset_id", "frame_ts_ms", "mime_type")
+    )

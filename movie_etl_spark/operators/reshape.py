@@ -1,0 +1,103 @@
+"""Reshape operators: nested arrays/maps -> bridge rows (SURVEY.md §2.3).
+
+The reference builds these bridges with per-movie Python loops
+(clean_genres/clean_languages/clean_production_countries,
+tasks/etl_task.py:292-327; clean_watch_providers :266-285). Here each is
+a single explode-based plan over all movies; explode is pipelined inside
+the stage (no shuffle) and only the aggregation at the end of the
+provider inversion shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_bridge(
+    df: DataFrame,
+    key: str,
+    array_col: str,
+    out_name: str,
+    distinct: bool = True,
+) -> DataFrame:
+    """Generic M:N bridge: ``(key, element)`` rows from an array column.
+
+    Covers R1 (genres), R2 (languages), R3 (production countries) and
+    the company-id bridge. ``distinct`` mirrors the stores' uniqueness
+    constraints (D1-D4): the reference relies on ON CONFLICT DO NOTHING,
+    we dedup declaratively.
+    """
+    out = df.select(F.col(key), F.explode(array_col).alias(out_name))
+    return out.dropDuplicates([key, out_name]) if distinct else out
+
+
+def explode_cast(clean_movies: DataFrame) -> DataFrame:
+    """Cast bridge: one row per (movie, cast member) with role payload
+    (feeds ACTED_IN edges, flows/etl_flow.py:425-477)."""
+    return clean_movies.select(
+        "movie_id", F.explode("casts").alias("c")
+    ).select(
+        "movie_id",
+        F.col("c.person_id").alias("person_id"),
+        F.col("c.name").alias("name"),
+        F.col("c.gender").alias("gender"),
+        F.col("c.character").alias("character"),
+    )
+
+
+def explode_crew(clean_movies: DataFrame) -> DataFrame:
+    """Crew bridge with job/department payload (feeds the 11
+    per-department edge types, flows/etl_flow.py:479-531)."""
+    return clean_movies.select(
+        "movie_id", F.explode("crews").alias("c")
+    ).select(
+        "movie_id",
+        F.col("c.person_id").alias("person_id"),
+        F.col("c.name").alias("name"),
+        F.col("c.gender").alias("gender"),
+        F.col("c.job").alias("job"),
+        F.col("c.department").alias("department"),
+    )
+
+
+def invert_watch_providers(clean_movies: DataFrame) -> DataFrame:
+    """R4 — map inversion + group-collect (tasks/etl_task.py:266-285).
+
+    region -> {buy,rent,flatrate -> [provider]}   becomes
+    (movie, provider, type) -> sorted [region] with flatrate renamed to
+    subscription. Two pipelined explodes then ONE shuffle (the groupBy);
+    regions are collected sorted so downstream comparisons are
+    deterministic. Empty offer lists drop out naturally (R5's
+    ``size > 0`` filter, flows/etl_flow.py:85-96).
+    """
+    offers = clean_movies.select(
+        "movie_id",
+        F.explode("watch_providers").alias("region", "offers"),
+    )
+    typed = offers.select(
+        "movie_id",
+        "region",
+        F.explode(
+            F.array(
+                F.struct(F.lit("buy").alias("type"), F.col("offers.buy").alias("ps")),
+                F.struct(F.lit("rent").alias("type"), F.col("offers.rent").alias("ps")),
+                F.struct(
+                    F.lit("subscription").alias("type"),
+                    F.col("offers.flatrate").alias("ps"),
+                ),
+            )
+        ).alias("o"),
+    ).select(
+        "movie_id",
+        "region",
+        F.col("o.type").alias("type"),
+        F.explode("o.ps").alias("p"),
+    )
+    return (
+        typed.select(
+            "movie_id", "region", "type", F.col("p.provider_id").alias("provider_id")
+        )
+        .groupBy("movie_id", "provider_id", "type")
+        .agg(F.sort_array(F.collect_set("region")).alias("regions"))
+    )

@@ -1,0 +1,54 @@
+"""Idempotent write / constraint helpers (SURVEY.md §2.7, §2.9).
+
+The reference delegates dedup to store constraints (ON CONFLICT DO
+NOTHING, Neo4j uniqueness) and swallows duplicate-key errors
+(tasks/etl_task.py:480-524, tasks/kg_task.py:30-34). Plain Parquet has
+no MERGE, so idempotency is declarative: anti-join before append, and
+uniqueness is an asserted invariant rather than a hoped-for exception.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def insert_if_absent(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """D1/D2/K1/K2 — set-union by key: existing rows win, new rows are
+    appended only when their key is absent (ON CONFLICT DO NOTHING)."""
+    fresh = new.join(existing.select(*keys), on=keys, how="left_anti")
+    return existing.unionByName(fresh)
+
+
+def assert_unique(df: DataFrame, keys: list[str]) -> DataFrame:
+    """D3 — uniqueness constraint as a validation: raises when any key
+    group has more than one row (mirrors kg_scripts/1_constraints.cypher).
+    Returns ``df`` unchanged so it chains."""
+    dupes = df.groupBy(*keys).count().filter(F.col("count") > 1)
+    bad = dupes.limit(1).collect()
+    if bad:
+        raise ValueError(f"uniqueness violation on {keys}: e.g. {bad[0].asDict()}")
+    return df
+
+
+def dedup_by_key(df: DataFrame, keys: list[str], order_col: str | None = None) -> DataFrame:
+    """D4 — MERGE-style upsert resolution: one survivor per key. With
+    ``order_col``, the lowest value wins deterministically (needed for
+    reproducible results; bare dropDuplicates keeps an arbitrary row)."""
+    if order_col is None:
+        return df.dropDuplicates(keys)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def rollback_key(df: DataFrame, key: str, values: list) -> DataFrame:
+    """K7 — compensation: drop every row belonging to the rolled-back
+    entity (utils/etl.py:87-120's cascading DELETE, as a filter that
+    rewrites the table without those keys)."""
+    return df.filter(~F.col(key).isin(values))

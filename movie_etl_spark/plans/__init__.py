@@ -1,0 +1,1 @@
+"""Gold-layer plans: graph node/edge builders and the query catalog."""

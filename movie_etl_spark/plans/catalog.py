@@ -1,0 +1,584 @@
+"""The driver-facing query catalog.
+
+Every entry pairs a Spark DataFrame query ``(spark, sf_dir) -> DataFrame``
+with the equivalent ANSI SQL for the DuckDB oracle. Keys are prefixed by
+the SURVEY.md §2 operator row they demonstrate.
+
+Determinism rules (so order-insensitive value hashes match the oracle):
+- money/quantity aggregates are computed in DECIMAL(18,2) then cast to
+  DOUBLE — bit-exact in both engines, immune to float summation order;
+- every computed column is aliased identically on both sides;
+- ratios are ratios of integer counts, rounded to a fixed precision;
+- all text hashing is md5 (identical hex output in both engines);
+- timestamps use the UTC-pinned session (session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movie_etl_spark.functions.cleaning import magnitude_to_number
+from movie_etl_spark.functions.text import (
+    LANGUAGE_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    language_scores,
+    normalize_text,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from movie_etl_spark.operators.clean import discover_movies  # noqa: F401 (parity)
+from movie_etl_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs_minhash,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from movie_etl_spark.operators.joins import hierarchy_closure
+from movie_etl_spark.operators.similarity import brute_force_top_k, lsh_top_k
+from movie_etl_spark.session import load_table
+from movie_etl_spark.streaming.events import windowed_counts
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver runs rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dec_sum(col, alias: str, scale: int = 2):
+    """DECIMAL-exact sum surfaced as DOUBLE (engine-portable)."""
+    return (
+        F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    )
+
+
+# =====================================================================
+# §2.1 sources / scans + §2.2 filters / projections
+# =====================================================================
+
+@register(
+    "s1_discover",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND o_totalprice >= 1000.0
+      AND o_orderstatus <> 'F'
+    """,
+    doc="S1 discover scan: window + threshold predicates pushed to scan, sorted id projection",
+)
+def q_s1_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+            & (F.col("o_totalprice") >= 1000.0)
+            & (F.col("o_orderstatus") != "F")
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "c1_sentinel_project",
+    """
+    SELECT doc_id,
+           nullif(lang, '') AS lang,
+           nullif(n_chars, 0) AS n_chars,
+           upper(source) AS source_uc,
+           substr(text, 1, 40) AS head
+    FROM documents
+    """,
+    doc="C1-C4 sentinel->NULL projection (nullif semantics of the cleaners)",
+)
+def q_c1_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.nullif("lang", F.lit("")).alias("lang"),
+        F.nullif("n_chars", F.lit(0)).alias("n_chars"),
+        F.upper("source").alias("source_uc"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+
+
+_PRIORITY_RANK = {
+    "1-URGENT": 1,
+    "2-HIGH": 2,
+    "3-MEDIUM": 3,
+    "4-NOT SPECIFIED": 4,
+    "5-LOW": 5,
+}
+
+@register(
+    "c5_decode_map",
+    """
+    SELECT CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+             WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 END AS priority_rank,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    doc="C5/C6 literal-map dimension decode (gender/department pattern)",
+)
+def q_c5_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pairs = []
+    for k, v in _PRIORITY_RANK.items():
+        pairs += [F.lit(k), F.lit(v)]
+    decoded = F.create_map(*pairs)[F.col("o_orderpriority")]
+    return orders.select(decoded.alias("priority_rank")).groupBy("priority_rank").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "f1_magnitude_parse",
+    """
+    SELECT p_partkey,
+           CAST(CAST(regexp_replace(mag, '[KMBkmb]$', '') AS DOUBLE) *
+                CASE upper(substr(mag, -1, 1))
+                  WHEN 'K' THEN 1000 WHEN 'M' THEN 1000000 WHEN 'B' THEN 1000000000
+                  ELSE 1 END AS BIGINT) AS approx_count
+    FROM (SELECT p_partkey,
+                 CAST(round(p_retailprice / 100.0, 1) AS VARCHAR) || 'K' AS mag
+          FROM part) t
+    """,
+    doc="F1 magnitude-suffix parse ('1.2K' -> 1200), reference etl_task.py:363-373",
+)
+def q_f1_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    mag = F.concat(
+        F.round(F.col("p_retailprice") / 100.0, 1).cast("string"), F.lit("K")
+    )
+    return part.select(
+        "p_partkey", magnitude_to_number(mag).alias("approx_count")
+    )
+
+
+@register(
+    "f3_regex_extract",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_value
+    FROM events
+    WHERE regexp_extract(props, '"k": (\\d+)', 1) <> ''
+    """,
+    doc="F3/F4 regex field extraction from semi-structured text",
+)
+def q_f3_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1)
+    return events.filter(k != "").select(
+        "event_id", k.cast("int").alias("k_value")
+    )
+
+
+@register(
+    "f7_date_functions",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' - INTERVAL 365 DAY
+    GROUP BY 1
+    """,
+    doc="F7/F8 date parse/trunc/arithmetic (weekly-window pattern, utils/etl.py:122-127)",
+)
+def q_f7_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.col("o_orderdate")
+            >= F.to_timestamp(F.lit("1997-01-01")) - F.expr("INTERVAL 365 DAYS")
+        )
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+        )
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice", "total_price"))
+    )
+
+
+# =====================================================================
+# §2.4 joins
+# =====================================================================
+
+@register(
+    "j3_broadcast_dim_join",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="J3 referential equi-join through two broadcast dims",
+)
+def q_j3_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(F.count("*").alias("n_customers"), dec_sum("c_acctbal", "total_acctbal"))
+    )
+
+
+@register(
+    "j5_fact_fact_join",
+    """
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    doc="J5 fact-to-fact shuffle join + partial-aggregated revenue",
+)
+def q_j5_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "j1_semi_join",
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_customers_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+    doc="J1/J2 existence probe as left-semi join (utils/etl.py:41-58)",
+)
+def q_j1_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+@register(
+    "d1_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="D1/D2 insert-if-absent guard as left-anti join (ON CONFLICT DO NOTHING)",
+)
+def q_d1_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j4_hierarchy_closure",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT 'N' || n_nationkey AS id, 'R' || n_regionkey AS parent FROM nation
+      UNION ALL
+      SELECT 'R' || r_regionkey AS id, NULL AS parent FROM region
+    ),
+    walk AS (
+      SELECT id, id AS root_id, 0 AS depth, parent FROM nodes
+      UNION ALL
+      SELECT w.id, n.id AS root_id, w.depth + 1 AS depth, n.parent
+      FROM walk w JOIN nodes n ON n.id = w.parent
+    )
+    SELECT id, root_id, depth FROM walk
+    QUALIFY row_number() OVER (PARTITION BY id ORDER BY depth DESC) = 1
+    """,
+    doc="J4 iterative hierarchy closure (parent-company walk, flows/etl_flow.py:364-423)",
+)
+def q_j4_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nodes = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("parent"),
+    ).unionByName(
+        region.select(
+            F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("id"),
+            F.lit(None).cast("string").alias("parent"),
+        )
+    )
+    return hierarchy_closure(nodes, "id", "parent")
+
+
+@register(
+    "f6_edge_builder",
+    """
+    SELECT l.l_orderkey AS head_id, l.l_partkey AS tail_id,
+           l.l_orderkey || '-' || l.l_partkey AS relationship_id,
+           l.l_quantity AS quantity
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      AND EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    """,
+    doc="J3/K4/F6 referential edge builder + synthetic relationship_id (kg_task.py:43-80)",
+)
+def q_f6_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.joins import build_edges
+
+    l = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_quantity", "quantity")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
+    p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"))
+    edges = build_edges(
+        l, o, p, "l_orderkey", "l_partkey", "LINE_OF", payload=["quantity"],
+        broadcast_tails=True,
+    )
+    return edges.select("head_id", "tail_id", "relationship_id", "quantity")
+
+
+# =====================================================================
+# §2.5 aggregation  §2.6 sort/limit  §2.7 set ops / dedup
+# =====================================================================
+
+@register(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1/A2 grouped aggregation (TPC-H Q1 shape; map-side partial agg)",
+)
+def q_a1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a2_distinct_agg",
+    """
+    SELECT o_orderpriority AS priority,
+           count(DISTINCT o_custkey) AS n_distinct_customers,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    doc="distinct aggregate (expand + two-phase agg in Spark)",
+)
+def q_a2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").alias("n_distinct_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "a3_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="grouping-sets rollup (absent in reference, engine built-in)",
+)
+def q_a3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dec_sum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "o1_top_k",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="O1/O2 top-k (TakeOrderedAndProject — no full sort at scale)",
+)
+def q_o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "w1_latest_order_per_customer",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS latest_orderkey,
+           CAST(o_orderdate AS DATE) AS latest_order_date
+    FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+    doc="window function: latest-per-key (absent in reference; engine built-in)",
+)
+def q_w1_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").cast("date").alias("latest_order_date"),
+        )
+    )
+
+
+@register(
+    "set1_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="set ops: EXCEPT (insert-if-absent set semantics)",
+)
+def q_set1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ordered = o.select(F.col("o_custkey").alias("c_custkey"))
+    return building.exceptAll(ordered).dropDuplicates()
+
+
+@register(
+    "set2_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="set ops: INTERSECT",
+)
+def q_set2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return auto.intersect(open_orders)
+
+
+@register(
+    "r4_group_collect",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="R4 group-collect (watch-provider inversion pattern, etl_task.py:266-285)",
+)
+def q_r4_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+            "event_types"
+        ),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "r1_explode_tokens",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+    WHERE length(token) > 5
+    GROUP BY token HAVING count(*) >= 5
+    """,
+    doc="R1-R3 explode to bridge rows + re-aggregate",
+)
+def q_r1_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.length("token") > 5)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )

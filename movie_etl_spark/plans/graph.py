@@ -1,0 +1,179 @@
+"""Gold layer: property-graph node/edge tables from cleaned silver data.
+
+The reference's final product is a Neo4j graph (8 node labels, ~17
+relationship types; SURVEY.md §1.1). Here the graph is a set of columnar
+tables — one DataFrame per node label with an enforced-unique id, and
+edge DataFrames ``(head_id, tail_id, rel_type, relationship_id,
+payload...)`` built through the referential-integrity join
+(operators.joins.build_edges = tasks/kg_task.py:43-80 semantics).
+
+Edge uniqueness mirrors kg_scripts/1_constraints.cypher — note the
+AVAILABLE_ON composite key is (relationship_id, type), not
+relationship_id alone (1_constraints.cypher:15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_etl_spark.functions.cleaning import decode_department, relationship_id
+from movie_etl_spark.operators.joins import build_edges
+from movie_etl_spark.operators.reshape import (
+    explode_bridge,
+    explode_cast,
+    explode_crew,
+    invert_watch_providers,
+)
+from movie_etl_spark.operators.upsert import dedup_by_key
+
+
+def movie_nodes(clean_movies: DataFrame) -> DataFrame:
+    """Movie node table (flows/etl_flow.py:250-261 property projection)."""
+    return dedup_by_key(
+        clean_movies.select(
+            "movie_id",
+            "title",
+            "overview",
+            "release_date",
+            "popularity",
+            "budget",
+            "revenue",
+            "runtime",
+            "wiki_id",
+            "imdb_id",
+        ),
+        ["movie_id"],
+        order_col="title",
+    )
+
+
+def person_nodes(clean_movies: DataFrame) -> DataFrame:
+    """Person nodes discovered from cast+crew (flows/etl_flow.py:425-531):
+    union of both bridges, one row per person_id."""
+    cast_people = explode_cast(clean_movies).select("person_id", "name", "gender")
+    crew_people = explode_crew(clean_movies).select("person_id", "name", "gender")
+    return dedup_by_key(
+        cast_people.unionByName(crew_people), ["person_id"], order_col="name"
+    )
+
+
+def build_movie_graph(
+    clean_movies: DataFrame,
+    collections: DataFrame | None = None,
+    companies: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Assemble the node/edge table set. Returns a dict keyed by
+    ``nodes/<Label>`` and ``edges/<REL_TYPE>``.
+
+    Scale: all dimension-side edges (genre/language/country) broadcast
+    their tail node table; fact-to-fact edges (ACTED_IN etc.) shuffle on
+    the join key and AQE handles skew (one blockbuster movie with a
+    10k-person crew is exactly the skewed-key case).
+    """
+    movies = movie_nodes(clean_movies)
+    out: dict[str, DataFrame] = {"nodes/Movie": movies}
+
+    genre_bridge = explode_bridge(clean_movies, "movie_id", "genre_ids", "genre_id")
+    genre_nodes = genre_bridge.select("genre_id").dropDuplicates(["genre_id"])
+    out["nodes/Genre"] = genre_nodes
+    out["edges/HAS_GENRE"] = build_edges(
+        genre_bridge, movies, genre_nodes, "movie_id", "genre_id", "HAS_GENRE",
+        broadcast_tails=True,
+    )
+
+    lang_bridge = explode_bridge(clean_movies, "movie_id", "language_ids", "language_id")
+    lang_nodes = lang_bridge.select("language_id").dropDuplicates(["language_id"])
+    out["nodes/Language"] = lang_nodes
+    out["edges/HAS_LANGUAGE"] = build_edges(
+        lang_bridge, movies, lang_nodes, "movie_id", "language_id", "HAS_LANGUAGE",
+        broadcast_tails=True,
+    )
+
+    country_bridge = explode_bridge(clean_movies, "movie_id", "country_ids", "country_id")
+    out["nodes/Country"] = country_bridge.select("country_id").dropDuplicates(["country_id"])
+    out["edges/PRODUCTION_COUNTRY"] = build_edges(
+        country_bridge, movies, out["nodes/Country"], "movie_id", "country_id",
+        "PRODUCTION_COUNTRY", broadcast_tails=True,
+    )
+
+    persons = person_nodes(clean_movies)
+    out["nodes/Person"] = persons
+
+    acted = explode_cast(clean_movies).withColumnRenamed("character", "role")
+    out["edges/ACTED_IN"] = build_edges(
+        acted, movies, persons, "movie_id", "person_id", "ACTED_IN", payload=["role"]
+    )
+
+    crew = explode_crew(clean_movies).withColumn(
+        "rel", decode_department("department")
+    )
+    # unknown departments drop (the reference raises KeyError —
+    # utils/etl.py:36-39; we choose explicit inner-join semantics)
+    crew = crew.filter(F.col("rel").isNotNull())
+    crew_edges = (
+        crew.join(movies.select("movie_id"), "movie_id", "left_semi")
+        .join(persons.select("person_id"), "person_id", "left_semi")
+        .select(
+            F.col("movie_id").alias("head_id"),
+            F.col("person_id").alias("tail_id"),
+            F.col("job"),
+            F.col("rel").alias("rel_type"),
+        )
+        .withColumn("relationship_id", relationship_id("head_id", "tail_id"))
+        .dropDuplicates(["rel_type", "relationship_id"])
+    )
+    out["edges/CREW"] = crew_edges
+
+    providers = invert_watch_providers(clean_movies)
+    out["nodes/WatchProvider"] = providers.select("provider_id").dropDuplicates(
+        ["provider_id"]
+    )
+    out["edges/AVAILABLE_ON"] = (
+        providers.filter(F.size("regions") > 0)
+        .select(
+            F.col("movie_id").alias("head_id"),
+            F.col("provider_id").alias("tail_id"),
+            F.col("type"),
+            F.col("regions"),
+        )
+        .withColumn("rel_type", F.lit("AVAILABLE_ON"))
+        .withColumn("relationship_id", relationship_id("head_id", "tail_id"))
+        # composite uniqueness (relationship_id, type) — constraints.cypher:15
+        .dropDuplicates(["relationship_id", "type"])
+    )
+
+    coll_edges = clean_movies.filter(F.col("collection_id").isNotNull()).select(
+        "movie_id", "collection_id"
+    )
+    out["nodes/Collection"] = coll_edges.select("collection_id").dropDuplicates(
+        ["collection_id"]
+    )
+    if collections is not None:
+        out["nodes/Collection"] = dedup_by_key(collections, ["collection_id"], "name")
+    out["edges/PART_OF"] = build_edges(
+        coll_edges, movies, out["nodes/Collection"], "movie_id", "collection_id",
+        "PART_OF", broadcast_tails=True,
+    )
+
+    if companies is not None:
+        comp_nodes = dedup_by_key(companies, ["company_id"], "name")
+        out["nodes/Company"] = comp_nodes
+        produced = explode_bridge(clean_movies, "movie_id", "company_ids", "company_id")
+        out["edges/PRODUCED_BY"] = build_edges(
+            produced, movies, comp_nodes, "movie_id", "company_id", "PRODUCED_BY"
+        )
+        # company -> parent company PART_OF (tail key rename — the
+        # reference's tail_map_key quirk, utils/etl.py:158-159)
+        parents = companies.filter(F.col("parent_company_id").isNotNull()).select(
+            F.col("company_id"), F.col("parent_company_id").alias("parent_id")
+        )
+        out["edges/COMPANY_PART_OF"] = build_edges(
+            parents,
+            comp_nodes,
+            comp_nodes.select(F.col("company_id").alias("parent_id")),
+            "company_id",
+            "parent_id",
+            "PART_OF",
+        )
+    return out

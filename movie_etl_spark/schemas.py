@@ -1,0 +1,197 @@
+"""Explicit StructTypes for the movie document model.
+
+The reference carries these shapes implicitly as dict keys
+(SURVEY.md §1.3); here every layer has a declared schema so Catalyst can
+prune nested fields and the tests can assert contracts.
+
+Shapes mirror the TMDB payloads consumed by the reference cleaners
+(tasks/etl_task.py:151-285) and FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CAST_MEMBER = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("gender", IntegerType()),
+        StructField("character", StringType()),
+        StructField("order", IntegerType()),
+    ]
+)
+
+CREW_MEMBER = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("gender", IntegerType()),
+        StructField("job", StringType()),
+        StructField("department", StringType()),
+    ]
+)
+
+PROVIDER_OFFER = StructType(
+    [
+        StructField("provider_id", IntegerType()),
+        StructField("provider_name", StringType()),
+    ]
+)
+
+REGION_OFFERS = StructType(
+    [
+        StructField("buy", ArrayType(PROVIDER_OFFER)),
+        StructField("rent", ArrayType(PROVIDER_OFFER)),
+        StructField("flatrate", ArrayType(PROVIDER_OFFER)),
+    ]
+)
+
+#: raw movie document — one row per movie, `append_to_response` sides
+#: pre-joined as nested columns (the reference's S2 source-side join,
+#: flows/etl_flow.py:233-240).
+RAW_MOVIE_DETAILS = StructType(
+    [
+        StructField("id", IntegerType(), False),
+        StructField("title", StringType()),
+        StructField("overview", StringType()),
+        StructField("release_date", StringType()),
+        StructField("popularity", DoubleType()),
+        StructField("budget", LongType()),
+        StructField("revenue", LongType()),
+        StructField("runtime", IntegerType()),
+        StructField("adult", BooleanType()),
+        StructField("vote_count", IntegerType()),
+        StructField("vote_average", DoubleType()),
+        StructField("original_language", StringType()),
+        StructField(
+            "belongs_to_collection",
+            StructType(
+                [StructField("id", IntegerType()), StructField("name", StringType())]
+            ),
+        ),
+        StructField(
+            "genres",
+            ArrayType(
+                StructType(
+                    [StructField("id", IntegerType()), StructField("name", StringType())]
+                )
+            ),
+        ),
+        StructField(
+            "production_companies",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("id", IntegerType()),
+                        StructField("name", StringType()),
+                        StructField("origin_country", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "production_countries",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("iso_3166_1", StringType()),
+                        StructField("name", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "spoken_languages",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("iso_639_1", StringType()),
+                        StructField("english_name", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "credits",
+            StructType(
+                [
+                    StructField("cast", ArrayType(CAST_MEMBER)),
+                    StructField("crew", ArrayType(CREW_MEMBER)),
+                ]
+            ),
+        ),
+        StructField("watch_providers", MapType(StringType(), REGION_OFFERS)),
+        StructField(
+            "external_ids",
+            StructType(
+                [
+                    StructField("wikidata_id", StringType()),
+                    StructField("imdb_id", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+RAW_COLLECTION_DETAILS = StructType(
+    [
+        StructField("id", IntegerType(), False),
+        StructField("name", StringType()),
+        StructField("overview", StringType()),
+    ]
+)
+
+RAW_COMPANY_DETAILS = StructType(
+    [
+        StructField("id", IntegerType(), False),
+        StructField("name", StringType()),
+        StructField("description", StringType()),
+        StructField(
+            "parent_company",
+            StructType(
+                [StructField("id", IntegerType()), StructField("name", StringType())]
+            ),
+        ),
+        StructField("origin_country", StringType()),
+        StructField("headquarters", StringType()),
+    ]
+)
+
+RAW_PERSON_DETAILS = StructType(
+    [
+        StructField("id", IntegerType(), False),
+        StructField("name", StringType()),
+        StructField("gender", IntegerType()),
+        StructField("biography", StringType()),
+        StructField("place_of_birth", StringType()),
+        StructField("birthday", StringType()),
+        StructField("deathday", StringType()),
+        StructField("popularity", DoubleType()),
+    ]
+)
+
+#: multimodal asset table — opaque binary payload + typed metadata
+#: (engine extension; no reference equivalent).
+MULTIMODAL_ASSET = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)

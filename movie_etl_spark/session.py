@@ -1,0 +1,70 @@
+"""SparkSession factory and test-table IO.
+
+Scale notes (100 TB / 1000-executor design intent)
+--------------------------------------------------
+- AQE is always on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy switching do at runtime what we
+  cannot know statically at 100 TB.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster set it (or rely on AQE's coalescing with a high
+  initial value) to ~2-3x total executor cores.
+- Session timezone is pinned to UTC so timestamp semantics are stable
+  across engines (the DuckDB oracle is UTC-naive).
+- Arrow is enabled for all pandas interchange (vectorized UDF path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes at each scale factor.
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "movie-etl-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session with scale-appropriate defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one test table.
+
+    Parquet + DataFrame reader means Catalyst gets filter pushdown and
+    column pruning for free on every downstream query.
+    """
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All test tables as a dict of lazily-planned DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

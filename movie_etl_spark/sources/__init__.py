@@ -1,0 +1,4 @@
+"""Sources: file readers and seeded dimension data."""
+
+from movie_etl_spark.sources.dims import seeded_genres, seeded_providers  # noqa: F401
+from movie_etl_spark.sources.readers import read_csv, read_json_docs, read_parquet  # noqa: F401

@@ -1,0 +1,71 @@
+"""Seeded dimension data (S5 — kg_scripts/2_init_nodes.cypher).
+
+The reference seeds 19 genres, ~190 languages, ~250 countries and ~430
+watch providers as Cypher MERGE literals. The engine's equivalent is a
+literal DataFrame per dimension, always broadcast at join time (they are
+bounded, tiny, and static). Representative subsets are seeded here; the
+full lists load through the same constructor from any CSV/JSON file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+GENRE_SCHEMA = StructType(
+    [StructField("genre_id", IntegerType(), False), StructField("name", StringType())]
+)
+
+#: the 19 TMDB genre ids (kg_scripts/2_init_nodes.cypher:2-20)
+GENRES: list[tuple[int, str]] = [
+    (28, "Action"),
+    (12, "Adventure"),
+    (16, "Animation"),
+    (35, "Comedy"),
+    (80, "Crime"),
+    (99, "Documentary"),
+    (18, "Drama"),
+    (10751, "Family"),
+    (14, "Fantasy"),
+    (36, "History"),
+    (27, "Horror"),
+    (10402, "Music"),
+    (9648, "Mystery"),
+    (10749, "Romance"),
+    (878, "Science Fiction"),
+    (10770, "TV Movie"),
+    (53, "Thriller"),
+    (10752, "War"),
+    (37, "Western"),
+]
+
+PROVIDER_SCHEMA = StructType(
+    [
+        StructField("provider_id", IntegerType(), False),
+        StructField("name", StringType()),
+    ]
+)
+
+#: representative watch providers (full ~430-row list in the reference
+#: seeds, kg_scripts/2_init_nodes.cypher:463-1080, loads via read_csv)
+PROVIDERS: list[tuple[int, str]] = [
+    (8, "Netflix"),
+    (9, "Amazon Prime Video"),
+    (15, "Hulu"),
+    (337, "Disney Plus"),
+    (384, "HBO Max"),
+    (2, "Apple TV"),
+    (3, "Google Play Movies"),
+    (192, "YouTube"),
+]
+
+
+def seeded_genres(spark: SparkSession) -> DataFrame:
+    """Broadcast-tagged static genre dim."""
+    return F.broadcast(spark.createDataFrame(GENRES, GENRE_SCHEMA))
+
+
+def seeded_providers(spark: SparkSession) -> DataFrame:
+    """Broadcast-tagged static provider dim."""
+    return F.broadcast(spark.createDataFrame(PROVIDERS, PROVIDER_SCHEMA))

@@ -1,0 +1,38 @@
+"""File sources (SURVEY.md §2.1).
+
+The reference reads CSV for bulk graph loads (S4, tasks/kg_task.py:97)
+and nested JSON documents over HTTP (S2). Engine sources are
+file-based: Parquet first (columnar, pushdown), CSV and JSON line
+documents with explicit schemas — never inferSchema in production paths
+(a schema-inference pass reads the data twice and can mistype at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; Catalyst gets predicate pushdown + column pruning."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | None = None, header: bool = True
+) -> DataFrame:
+    """S4's LOAD CSV equivalent."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # tests/small files only
+    return reader.csv(path)
+
+
+def read_json_docs(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """S2's nested-document source: JSON-lines with the explicit nested
+    StructType (schemas.RAW_MOVIE_DETAILS et al.) — the
+    `append_to_response` side collections arrive pre-joined as nested
+    columns exactly as in the reference payloads."""
+    return spark.read.schema(schema).json(path)

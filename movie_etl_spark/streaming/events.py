@@ -1,0 +1,79 @@
+"""Streaming operators over the events stream.
+
+The reference's incremental story is a weekly cron batch (X6,
+prefect.yaml:52-56). The engine subsumes it two ways:
+
+1. :func:`windowed_counts` — the same aggregation works identically in
+   batch and streaming mode (pass a static OR streaming DataFrame), so
+   the weekly batch *is* the streaming query run with
+   ``trigger(availableNow=True)``.
+2. Watermarking bounds state for late data at 100 TB/day event rates:
+   state per (window x event_type) only, dropped once the watermark
+   passes — no unbounded driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    Works on both batch and streaming inputs; the watermark clause is
+    applied only when the input is streaming (it is a no-op operator on
+    batch DataFrames but we keep plans identical where possible).
+    """
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_over_parquet(
+    spark,
+    parquet_path: str,
+    schema,
+    out_table: str = "windowed_counts_stream",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Execute :func:`windowed_counts` as a real Structured Streaming
+    query over a parquet directory with ``availableNow`` (bounded
+    backfill), materializing to an in-memory sink. Used by tests to
+    prove streaming semantics match the batch plan."""
+    stream = (
+        spark.readStream.schema(schema).parquet(parquet_path)
+    )
+    agg = windowed_counts(stream, window_duration=window_duration)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
