@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Tables the driver materializes at each scale factor.
 TABLE_NAMES = (
@@ -48,6 +49,7 @@ def get_spark(app_name: str = "movie-etl-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -61,8 +63,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Parquet + DataFrame reader means Catalyst gets filter pushdown and
     column pruning for free on every downstream query.
+
+    ``events.parquet`` carries INT64 TIMESTAMP(NANOS), which Spark
+    rejects outright (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on. The conf is
+    session-settable at runtime, so we set it here defensively (the
+    driver may hand us a session built without it) and convert the
+    resulting nanos BIGINT to a microsecond timestamp with integer
+    division — bit-identical to DuckDB's TIMESTAMP_NS→TIMESTAMP
+    truncation of the same column, so oracle hashes line up.
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
