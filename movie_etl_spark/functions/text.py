@@ -98,10 +98,15 @@ def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
     norm = normalize_text(col)
     n = F.length(norm)
     # positions 1, 1+stride, ... while a full window fits (plus one
-    # trailing shingle so short docs are never empty)
+    # trailing shingle so short non-empty docs are never empty).
+    # Empty/whitespace-only text yields an EMPTY array — otherwise every
+    # blank doc would share the [""] shingle and minhash would report
+    # them all as jaccard-1.0 near-duplicates of each other.
     last = F.greatest(n - F.lit(k) + 1, F.lit(1))
     offsets = F.sequence(F.lit(1), last, F.lit(stride))
-    return F.transform(offsets, lambda i: norm.substr(i, F.lit(k)))
+    return F.when(
+        n > 0, F.transform(offsets, lambda i: norm.substr(i, F.lit(k)))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def md5_band(cols: list[Column]) -> Column:

@@ -50,10 +50,13 @@ def discover_movies(
 
 
 def _person_struct(x: Column, with_character: bool) -> Column:
+    # gender is decoded to its label at clean time, matching the
+    # reference (etl_task.py:157,166 applies map_gender inside the cast/
+    # crew transform) and this package's own C4 cleaner.
     fields = [
         x["id"].alias("person_id"),
         x["name"].alias("name"),
-        x["gender"].alias("gender"),
+        decode_gender(x["gender"]).alias("gender"),
     ]
     if with_character:
         fields.append(x["character"].alias("character"))

@@ -75,6 +75,7 @@ def hierarchy_closure(
     id_col: str,
     parent_col: str,
     max_depth: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """J4 — iterative closure over a parent hierarchy
     (flows/etl_flow.py:364-423's parent-company walk, rebuilt with the
@@ -85,6 +86,12 @@ def hierarchy_closure(
     driver-side loop of self-joins with a depth cap; each round only
     carries still-unresolved rows, and converges in O(max chain depth)
     rounds (company chains in the reference data are short, 2-3).
+
+    Rows still unresolved after ``max_depth`` (cycles, or chains deeper
+    than the cap) raise when ``strict`` (the default); with
+    ``strict=False`` they are returned flagged ``unresolved=true`` rather
+    than silently posing as resolved (strict mode keeps the 3-column
+    ``(id, root_id, depth)`` shape).
     """
     edges = children.select(
         F.col(id_col).alias("_id"), F.col(parent_col).alias("_parent")
@@ -113,6 +120,19 @@ def hierarchy_closure(
             )
         )
         frontier = stepped.unionByName(frontier.filter(~F.col("_open"))).localCheckpoint()
+    if not strict:
+        return frontier.select(
+            F.col("_id").alias(id_col),
+            F.col("_root").alias("root_id"),
+            F.col("_depth").alias("depth"),
+            F.col("_open").alias("unresolved"),
+        )
+    leftover = frontier.filter("_open").limit(1).collect()
+    if leftover:
+        raise ValueError(
+            f"hierarchy unresolved after max_depth={max_depth} "
+            f"(cycle or deeper chain), e.g. id={leftover[0]['_id']!r}"
+        )
     return frontier.select(
         F.col("_id").alias(id_col),
         F.col("_root").alias("root_id"),

@@ -13,10 +13,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def insert_if_absent(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+def insert_if_absent(
+    existing: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
     """D1/D2/K1/K2 — set-union by key: existing rows win, new rows are
-    appended only when their key is absent (ON CONFLICT DO NOTHING)."""
-    fresh = new.join(existing.select(*keys), on=keys, how="left_anti")
+    appended only when their key is absent (ON CONFLICT DO NOTHING).
+
+    ``new`` is deduped within itself first — two incoming rows sharing a
+    key contribute one survivor (the reference's first-wins conflict
+    semantics; pass ``order_col`` for a deterministic winner)."""
+    fresh = dedup_by_key(new, keys, order_col).join(
+        existing.select(*keys), on=keys, how="left_anti"
+    )
     return existing.unionByName(fresh)
 
 

@@ -88,7 +88,9 @@ def dec_sum(col, alias: str, scale: int = 2):
       AND o_totalprice >= 1000.0
       AND o_orderstatus <> 'F'
     """,
-    doc="S1 discover scan: window + threshold predicates pushed to scan, sorted id projection",
+    doc="S1 discover scan: window + threshold predicates pushed to scan, id projection "
+    "(no global sort: driver hash is order-insensitive; sorting 100 TB for an unordered "
+    "set is a pure-waste range shuffle — sort only where a limit follows, as o1_top_k does)",
 )
 def q_s1_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -98,7 +100,6 @@ def q_s1_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_totalprice") >= 1000.0)
             & (F.col("o_orderstatus") != "F")
         )
-        .orderBy("o_orderdate", "o_orderkey")
         .select(
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("order_date"),
@@ -311,16 +312,21 @@ def q_j1_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
     """,
-    doc="D1/D2 insert-if-absent guard as left-anti join (ON CONFLICT DO NOTHING)",
+    doc="D1/D2 insert-if-absent guard as left-anti join (ON CONFLICT DO NOTHING); "
+    "the recent-window predicate keeps the complement non-empty at every SF "
+    "(every customer has *some* order in this data)",
 )
 def q_d1_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(
-        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select("c_custkey", "c_name")
+    recent = o.filter(F.col("o_orderdate") >= "2001-01-01").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(recent, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
 @register(
@@ -375,9 +381,11 @@ def q_f6_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_quantity", "quantity")
     o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
     p = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"))
+    # No broadcast flag: `part` is a fact table (200M rows at sf100), not a
+    # dimension. An un-hinted shuffle join lets AQE pick broadcast at runtime
+    # only when the side is genuinely small.
     edges = build_edges(
         l, o, p, "l_orderkey", "l_partkey", "LINE_OF", payload=["quantity"],
-        broadcast_tails=True,
     )
     return edges.select("head_id", "tail_id", "relationship_id", "quantity")
 
@@ -513,14 +521,18 @@ def q_w1_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     EXCEPT
     SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
     """,
-    doc="set ops: EXCEPT (insert-if-absent set semantics)",
+    doc="set ops: EXCEPT (insert-if-absent set semantics); date-window on the "
+    "subtracted side keeps the result non-empty at every SF",
 )
 def q_set1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    ordered = o.select(F.col("o_custkey").alias("c_custkey"))
+    ordered = o.filter(F.col("o_orderdate") >= "2000-01-01").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
     return building.exceptAll(ordered).dropDuplicates()
 
 

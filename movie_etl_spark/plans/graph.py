@@ -101,8 +101,16 @@ def build_movie_graph(
     out["nodes/Person"] = persons
 
     acted = explode_cast(clean_movies).withColumnRenamed("character", "role")
-    out["edges/ACTED_IN"] = build_edges(
-        acted, movies, persons, "movie_id", "person_id", "ACTED_IN", payload=["role"]
+    # a person with multiple characters in one movie is one ACTED_IN row
+    # (relationship_id uniqueness, 1_constraints.cypher); lowest role wins
+    # deterministically
+    out["edges/ACTED_IN"] = dedup_by_key(
+        build_edges(
+            acted, movies, persons, "movie_id", "person_id", "ACTED_IN",
+            payload=["role"],
+        ),
+        ["relationship_id"],
+        order_col="role",
     )
 
     crew = explode_crew(clean_movies).withColumn(
