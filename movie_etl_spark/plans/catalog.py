@@ -36,11 +36,13 @@ from movie_etl_spark.functions.text import (
 from movie_etl_spark.operators.clean import discover_movies  # noqa: F401 (parity)
 from movie_etl_spark.operators.dedup import (
     exact_dedup,
+    minhash_signatures,
     near_dup_pairs_minhash,
     ngram_jaccard_pairs,
     simhash,
 )
 from movie_etl_spark.operators.joins import hierarchy_closure
+from movie_etl_spark.operators.multimodal import extract_features, sample_frames
 from movie_etl_spark.operators.similarity import brute_force_top_k, lsh_top_k
 from movie_etl_spark.session import load_table
 from movie_etl_spark.streaming.events import windowed_counts
@@ -594,3 +596,399 @@ def q_r1_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+# =====================================================================
+# LLM-data-pipeline surface: text analysis, dedup, similarity,
+# multimodal, streaming-equivalent windowing (engine extensions —
+# SURVEY.md §2.11 north-star rows; no reference equivalent)
+# =====================================================================
+
+# Shared SQL fragments for the DuckDB oracles. Every operator is built
+# on md5 + integer-ratio arithmetic precisely so these are expressible.
+_SQL_TOKS = (
+    r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+)
+_SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+# char 8-shingles stride 4 over normalized text (matches
+# functions.text.char_shingles: offsets 1, 5, ... inclusive of
+# greatest(len-7, 1); empty text -> no rows)
+_SQL_SHINGLES = f"""
+    norm AS (SELECT doc_id, {_SQL_NORM} AS s FROM documents),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(length(s) - 7, 1) + 1, 4),
+               o -> substr(s, o, 8))) AS shingle
+      FROM norm WHERE length(s) > 0
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+_SQL_MINHASH_SIGS = f"""
+    {_SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "t1_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+           round(CASE WHEN length(text) > 0
+             THEN (length(text) -
+                   length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                  * 1.0 / length(text)
+             ELSE 0.0 END, 6) AS punct_ratio,
+           round(CASE WHEN len({_SQL_TOKS}) > 0
+             THEN len(list_filter({_SQL_TOKS},
+                    t -> list_contains(['the','a','an','of','to','and','in','is','it','that'],
+                                       lower(t))))
+                  * 1.0 / len({_SQL_TOKS})
+             ELSE 0.0 END, 6) AS stopword_ratio,
+           md5({_SQL_NORM}) AS fingerprint
+    FROM documents
+    """,
+    doc="text quality scoring: token count, punctuation + stopword ratios, "
+    "md5 fingerprint — all JVM-side expressions, zero UDFs",
+)
+def q_t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang in sorted(LANGUAGE_MARKERS):
+        markers = ",".join(f"'{m}'" for m in LANGUAGE_MARKERS[lang])
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(ltoks, t -> list_contains([{markers}], t))) AS score "
+            "FROM toks"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "t2_language_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_transform({_SQL_TOKS}, t -> lower(t)) AS ltoks
+      FROM documents
+    ),
+    scores AS ({{scores}}),
+    best AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn
+      FROM scores
+    )
+    SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_id
+    FROM best WHERE rn = 1
+    """.format(scores=_lang_scores_sql()),
+    doc="heuristic language ID: argmax over marker-token hit counts, "
+    "deterministic tie-break by language code (functions.text.language_scores)",
+)
+def q_t2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", language_scores("text").alias("lang_id"))
+
+
+@register(
+    "dd1_exact_dedup",
+    f"""
+    SELECT md5({_SQL_NORM}) AS fingerprint,
+           min(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: one hash shuffle on the normalized-text fingerprint, "
+    "min-id survivor (operators.dedup.exact_dedup)",
+)
+def q_dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "dd2_minhash_signatures",
+    f"""
+    WITH {_SQL_MINHASH_SIGS}
+    SELECT * FROM sigs
+    """,
+    doc="MinHash signatures: shingle explode is pipelined, the whole 8-wide "
+    "signature builds in ONE aggregation (operators.dedup.minhash_signatures)",
+)
+def q_dd2_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, "text", "doc_id")
+
+
+@register(
+    "dd3_minhash_near_dups",
+    f"""
+    WITH {_SQL_MINHASH_SIGS},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, "
+          f"md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_key FROM sigs"
+          for b in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE round(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) >= 0.6
+    """,
+    doc="MinHash+LSH near-duplicate pairs: banded signatures -> bucket "
+    "self-join -> exact-Jaccard verification on candidates only (never "
+    "all-pairs; operators.dedup.near_dup_pairs_minhash)",
+)
+def q_dd3_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash(d, "text", "doc_id")
+
+
+@register(
+    "dd4_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(tk) - 3, 0) + 1),
+               i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))) AS gram
+      FROM toks
+    ),
+    grams AS (SELECT doc_id, gram FROM g0 WHERE length(gram) > 0),
+    dfc AS (SELECT gram, count(*) AS df_count FROM grams GROUP BY gram),
+    rare AS (SELECT g.doc_id, g.gram FROM grams g
+             JOIN dfc ON dfc.gram = g.gram AND dfc.df_count <= 20),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.gram = b.gram
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.id_a
+      JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE round(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) >= 0.5
+    """,
+    doc="word-3-gram Jaccard near-dup pairs via inverted-index join with a "
+    "document-frequency cap (<=20) for hub-n-gram skew control "
+    "(operators.dedup.ngram_jaccard_pairs)",
+)
+def q_dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id")
+
+
+@register(
+    "dd5_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM tok
+    ),
+    bit_sums AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+                 for b in range(32)
+             )}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(
+               f"(CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+               for b in range(32)
+           )} AS simhash
+    FROM bit_sums
+    """,
+    doc="SimHash signatures: token explode + ONE groupBy with 32 conditional "
+    "bit sums (operators.dedup.simhash)",
+)
+def q_dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id")
+
+
+@register(
+    "v1_brute_force_top_k",
+    """
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cosine,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]), 6) DESC,
+                      c.vec_id ASC) AS INT) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id % 100 = 0
+    QUALIFY rank <= 3
+    """,
+    doc="exact cosine top-k (correctness baseline; documented scale-killer — "
+    "the registered scale path is v2_lsh_top_k). Query side restricted to "
+    "vec_id%100=0 so the cross product stays bounded",
+)
+def q_v1_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_top_k(q, e, k=3)
+
+
+@register(
+    "v2_lsh_top_k",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {bits} AS bucket
+      FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cosine,
+           CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]), 6) DESC,
+                      c.vec_id ASC) AS INT) AS rank
+    FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    QUALIFY rank <= 3
+    """.format(
+        bits=" || ".join(
+            f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+            for i in range(8)
+        )
+    ),
+    doc="sign-bucket LSH ANN top-k: bucketed equi-join replaces the cross "
+    "product — the 100 TB scale path (operators.similarity.lsh_top_k)",
+)
+def q_v2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_top_k(e, e, k=3)
+
+
+@register(
+    "st1_windowed_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling-window counts + sums per event_type — the SAME plan runs "
+    "batch or streaming (streaming.events.windowed_counts; watermark bounds "
+    "state in stream mode, proven batch==stream by tests)",
+)
+def q_st1_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return windowed_counts(e, window_duration="1 hour")
+
+
+def _fake_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal asset table derived from documents:
+    payload = utf-8 text bytes, modality round-robins by id, synthetic
+    duration. Lets the multimodal plumbing run against driver testdata
+    with a SQL-expressible oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        ((F.col("n_chars") % 5000) + 1000).cast("long").alias("duration_ms"),
+        F.lit("video/mp4").alias("mime_type"),
+    )
+
+
+@register(
+    "mm1_multimodal_features",
+    """
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           8 AS feature_dim
+    FROM documents
+    """,
+    doc="multimodal decode/feature plumbing: binary payloads through an "
+    "Arrow-batched mapInPandas stage (operators.multimodal.extract_features; "
+    "decode itself is honestly stubbed — byte_len/md5/shape are real). The "
+    "float feature vector is projected to its dimension here because "
+    "float32-vs-float64 canon differs across engines",
+)
+def q_mm1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _fake_assets(spark, sf_dir)
+    feats = extract_features(assets, fake_decode=True)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "byte_len",
+        "content_md5",
+        F.size("feature").alias("feature_dim"),
+    )
+
+
+@register(
+    "mm2_frame_sampling",
+    """
+    SELECT doc_id AS asset_id,
+           unnest(range(0, greatest((n_chars % 5000) + 1000 - 1, 0) + 1, 1000))
+             AS frame_ts_ms,
+           'video/mp4' AS mime_type
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+    doc="video frame sampling: expression-level sequence+explode row fan-out "
+    "(operators.multimodal.sample_frames — the partitioning-relevant part is "
+    "real; frame extraction stubbed)",
+)
+def q_mm2_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _fake_assets(spark, sf_dir)
+    return sample_frames(assets, every_ms=1000)
