@@ -1,0 +1,66 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs every catalog query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "catalog_total_wall", "value": <sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": 0.1}
+
+Each query executes end-to-end through the noop sink (full plan runs,
+nothing collected to the driver — the 100 TB-shaped measurement: we
+time the distributed execution, not a driver-side materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from movie_etl_spark.plans.catalog import QUERIES  # noqa: E402
+from movie_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footer caches so per-query times measure the
+    # plans, not first-touch JIT
+    QUERIES["o1_top_k"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name, qd in QUERIES.items():
+        t0 = time.perf_counter()
+        qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
