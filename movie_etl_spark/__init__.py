@@ -17,3 +17,22 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Python-UDF closures (pandas_udf, mapInPandas) are pickled by module
+# reference, so Spark's forked Python workers must be able to import
+# this package no matter what the driver process's cwd is. Exporting
+# the repo root into PYTHONPATH here — at package-import time, before
+# any worker daemon forks — makes every session (ours or one the
+# driver harness built itself) self-sufficient. On a real cluster the
+# equivalent is shipping the package via --py-files / addPyFile.
+import os as _os
+import sys as _sys
+
+_pkg_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _pkg_root not in _sys.path:
+    _sys.path.insert(0, _pkg_root)
+_pp = _os.environ.get("PYTHONPATH", "")
+if _pkg_root not in _pp.split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _pkg_root + (_os.pathsep + _pp if _pp else "")
+    )

@@ -1,0 +1,121 @@
+"""F9 — HTML DOM-selector extraction as a vectorized pandas UDF.
+
+The reference scrapes ratings pages with BeautifulSoup selector chains
+(tasks/etl_task.py:338-436, utils/etl.py:63-85):
+``soup.find("div", class_="media-scorecard").find("rt-text",
+slot="criticsScore").text`` etc. This is the one reference capability
+that genuinely cannot be expressed relationally, so it is the one place
+the engine runs Python in the hot path — as an Arrow-batched
+``pandas_udf`` (never row-at-a-time), with a dependency-free selector
+engine on stdlib ``html.parser``.
+
+Factoring mirrors the reference: the UDF only pulls TEXT out of the
+DOM; all number parsing (percent/magnitude/comma regexes) stays in the
+JVM-side scalar functions (functions.cleaning.parse_percent et al.).
+
+Scale: one Python worker pass per Arrow batch; selector compilation is
+per-executor (closure capture), and the parser is a single linear scan
+per document — O(bytes), no backtracking.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+#: A selector step: (tag, attr_name, attr_value). ``attr_name`` of
+#: "class" matches any whitespace-separated class token; other attrs
+#: match exactly. ``None`` tag matches any element.
+Selector = tuple[str | None, str | None, str | None]
+
+
+def _matches(tag: str, attrs: dict[str, str | None], step: Selector) -> bool:
+    want_tag, attr, value = step
+    if want_tag is not None and tag != want_tag:
+        return False
+    if attr is None:
+        return True
+    got = attrs.get(attr)
+    if got is None:
+        return False
+    if attr == "class":
+        return value in got.split()
+    return got == value
+
+
+class _SelectParser(HTMLParser):
+    """Single-pass selector chain: text of the first element matching
+    the final step, nested inside matches of every earlier step —
+    the same semantics as chained ``soup.find(...)`` calls."""
+
+    VOID = frozenset(
+        "area base br col embed hr img input link meta source track wbr".split()
+    )
+
+    def __init__(self, steps: list[Selector]):
+        super().__init__(convert_charrefs=True)
+        self.steps = steps
+        # depth of the open match for each satisfied step; len == number
+        # of chain steps currently satisfied
+        self.match_depths: list[int] = []
+        self.depth = 0
+        self.capture_from: int | None = None
+        self.text: list[str] = []
+        self.done = False
+
+    def handle_starttag(self, tag, attrs):
+        if self.done:
+            return
+        self.depth += 1
+        if tag in self.VOID:
+            self.depth -= 1
+            return
+        if self.capture_from is None and len(self.match_depths) < len(self.steps):
+            if _matches(tag, dict(attrs), self.steps[len(self.match_depths)]):
+                self.match_depths.append(self.depth)
+                if len(self.match_depths) == len(self.steps):
+                    self.capture_from = self.depth
+
+    def handle_endtag(self, tag):
+        if self.done or tag in self.VOID:
+            return
+        if self.capture_from is not None and self.depth == self.capture_from:
+            self.done = True
+            self.capture_from = None
+        while self.match_depths and self.match_depths[-1] >= self.depth:
+            self.match_depths.pop()
+        self.depth = max(self.depth - 1, 0)
+
+    def handle_data(self, data):
+        if self.capture_from is not None and not self.done:
+            self.text.append(data)
+
+
+def select_text(html: str | None, steps: list[Selector]) -> str | None:
+    """Text content of the first element matching the selector chain,
+    or None (the reference's ``.find(...)`` returning None ≈ our NULL)."""
+    if html is None:
+        return None
+    p = _SelectParser(steps)
+    try:
+        p.feed(html)
+    except Exception:
+        return None
+    out = "".join(p.text).strip()
+    return out if (p.done or p.text) else None
+
+
+def html_select(col: Column | str, steps: list[Selector]) -> Column:
+    """Column form: Arrow-batched pandas UDF applying ``select_text``
+    with a fixed selector chain (compiled once per executor)."""
+
+    @F.pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda h: select_text(h, steps))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _udf(c)

@@ -992,3 +992,51 @@ def q_mm1_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm2_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = _fake_assets(spark, sf_dir)
     return sample_frames(assets, every_ms=1000)
+
+
+@register(
+    "f9_html_extract",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 101 AS INT) AS critic_score,
+           n_chars AS num_critic
+    FROM documents
+    """,
+    doc="F9 HTML DOM-selector extraction (reference etl_task.py:338-436): "
+    "documents are wrapped in a ratings-page-shaped HTML template (with a "
+    "decoy element the selector chain must skip), the Arrow-batched "
+    "pandas-UDF selector pulls the text back out, and the JVM-side scalar "
+    "parsers (F3/F4) recover the numbers — oracle checks the round-trip "
+    "against ground truth",
+)
+def q_f9_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.cleaning import (
+        parse_count_with_commas,
+        parse_percent,
+    )
+    from movie_etl_spark.functions.html import html_select
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><body><div class="other">'
+            '<rt-text slot="criticsScore">99%</rt-text></div>'
+            '<div class="media-scorecard"><rt-text slot="criticsScore">'
+        ),
+        (F.col("doc_id") % 101).cast("string"),
+        F.lit('%</rt-text><rt-link slot="criticsReviews">'),
+        F.format_number("n_chars", 0),
+        F.lit(" Reviews</rt-link></div></body></html>"),
+    )
+    page = d.select("doc_id", "n_chars", html.alias("page"))
+    score_txt = html_select(
+        "page", [("div", "class", "media-scorecard"), ("rt-text", "slot", "criticsScore")]
+    )
+    count_txt = html_select(
+        "page", [("div", "class", "media-scorecard"), ("rt-link", "slot", "criticsReviews")]
+    )
+    return page.select(
+        "doc_id",
+        parse_percent(score_txt).alias("critic_score"),
+        parse_count_with_commas(count_txt).alias("num_critic"),
+    )

@@ -1,10 +1,11 @@
 """Seeded dimension data (S5 — kg_scripts/2_init_nodes.cypher).
 
-The reference seeds 19 genres, ~190 languages, ~250 countries and ~430
+The reference seeds 19 genres, 187 languages, 249 countries and 619
 watch providers as Cypher MERGE literals. The engine's equivalent is a
-literal DataFrame per dimension, always broadcast at join time (they are
-bounded, tiny, and static). Representative subsets are seeded here; the
-full lists load through the same constructor from any CSV/JSON file.
+literal DataFrame per dimension, always broadcast at join time (they
+are bounded, tiny, and static). The full value lists live in
+:mod:`movie_etl_spark.sources.dims_data` (generated from the reference
+seed script); this module owns the schemas and constructors.
 """
 
 from __future__ import annotations
@@ -12,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from movie_etl_spark.sources.dims_data import COUNTRIES, LANGUAGES, PROVIDERS
 
 GENRE_SCHEMA = StructType(
     [StructField("genre_id", IntegerType(), False), StructField("name", StringType())]
@@ -40,6 +43,20 @@ GENRES: list[tuple[int, str]] = [
     (37, "Western"),
 ]
 
+LANGUAGE_SCHEMA = StructType(
+    [
+        StructField("language_id", StringType(), False),
+        StructField("name", StringType()),
+    ]
+)
+
+COUNTRY_SCHEMA = StructType(
+    [
+        StructField("country_id", StringType(), False),
+        StructField("name", StringType()),
+    ]
+)
+
 PROVIDER_SCHEMA = StructType(
     [
         StructField("provider_id", IntegerType(), False),
@@ -47,25 +64,24 @@ PROVIDER_SCHEMA = StructType(
     ]
 )
 
-#: representative watch providers (full ~430-row list in the reference
-#: seeds, kg_scripts/2_init_nodes.cypher:463-1080, loads via read_csv)
-PROVIDERS: list[tuple[int, str]] = [
-    (8, "Netflix"),
-    (9, "Amazon Prime Video"),
-    (15, "Hulu"),
-    (337, "Disney Plus"),
-    (384, "HBO Max"),
-    (2, "Apple TV"),
-    (3, "Google Play Movies"),
-    (192, "YouTube"),
-]
-
 
 def seeded_genres(spark: SparkSession) -> DataFrame:
-    """Broadcast-tagged static genre dim."""
+    """Broadcast-tagged static genre dim (19 rows)."""
     return F.broadcast(spark.createDataFrame(GENRES, GENRE_SCHEMA))
 
 
+def seeded_languages(spark: SparkSession) -> DataFrame:
+    """Broadcast-tagged ISO-639-1 language dim (187 rows)."""
+    return F.broadcast(spark.createDataFrame(LANGUAGES, LANGUAGE_SCHEMA))
+
+
+def seeded_countries(spark: SparkSession) -> DataFrame:
+    """Broadcast-tagged ISO-3166-1 country dim (249 rows)."""
+    return F.broadcast(spark.createDataFrame(COUNTRIES, COUNTRY_SCHEMA))
+
+
 def seeded_providers(spark: SparkSession) -> DataFrame:
-    """Broadcast-tagged static provider dim."""
-    return F.broadcast(spark.createDataFrame(PROVIDERS, PROVIDER_SCHEMA))
+    """Broadcast-tagged watch-provider dim (619 rows)."""
+    return F.broadcast(
+        spark.createDataFrame([(pid, name) for pid, name in PROVIDERS], PROVIDER_SCHEMA)
+    )

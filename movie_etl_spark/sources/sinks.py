@@ -1,0 +1,71 @@
+"""File sinks (SURVEY.md §2.9 — the write half of K1/K2/K5).
+
+The reference writes through psycopg2 INSERTs with ON CONFLICT DO
+NOTHING (K1/K2, tasks/etl_task.py:457-524) and a pandas ``to_csv`` for
+bulk graph loads (K5, utils/etl.py:140-145). Plain Parquet has no
+MERGE, so idempotency is declarative: anti-join against the live table
+before an append write (the same set semantics the store constraint
+enforced for the reference).
+
+Scale: appends are partitioned writes (one file per task); pass
+``partition_by`` so downstream scans get partition pruning. The
+anti-join in :func:`append_if_absent` reads only the key columns of the
+existing table (column pruning keeps it cheap even on wide tables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from movie_etl_spark.operators.upsert import insert_if_absent
+
+
+def write_csv(df: DataFrame, path: str, columns: list[str] | None = None) -> None:
+    """K5 — ``load_to_csv`` equivalent: projected columns, header row.
+    (utils/etl.py:140-145 writes ``df[property_columns].to_csv``.)"""
+    out = df.select(*columns) if columns else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Columnar sink; ``partition_by`` buys partition pruning downstream."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_if_absent(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str | None = None,
+) -> int:
+    """K1/K2 — idempotent append: rows whose key already exists in the
+    parquet table at ``path`` are dropped (ON CONFLICT DO NOTHING);
+    re-running the same load is a no-op. Returns rows appended.
+
+    First write (no table yet) degenerates to a plain deduped write.
+    """
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        merged = insert_if_absent(existing, new, keys, order_col)
+        fresh = merged.join(existing.select(*keys), on=keys, how="left_anti")
+    else:
+        fresh = insert_if_absent(new.limit(0), new, keys, order_col)
+    # checkpoint before the append: fresh's plan reads the target table,
+    # and writing a path mid-read is undefined — the checkpoint
+    # materializes executor-side (no driver collect) and cuts the lineage
+    fresh = fresh.localCheckpoint()
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n

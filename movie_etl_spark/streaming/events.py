@@ -68,10 +68,16 @@ def run_stream_over_parquet(
         spark.readStream.schema(schema).parquet(parquet_path)
     )
     agg = windowed_counts(stream, window_duration=window_duration)
+    # update mode, NOT complete: complete retains every window ever seen
+    # in the state store — unbounded state at 100 TB/day. With update +
+    # watermark, state per (window x type) drops once the watermark
+    # passes. Rows for the same window may re-emit across micro-batches
+    # (bounded backfill here is a single batch); consumers dedup by key
+    # on the last emit.
     q = (
         agg.writeStream.format("memory")
         .queryName(out_table)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

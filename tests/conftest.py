@@ -1,0 +1,18 @@
+"""Shared Spark session for the test suite (one JVM for the whole run)."""
+
+from __future__ import annotations
+
+import pytest
+
+from movie_etl_spark.session import get_spark
+
+#: reference checkout (read-only); golden-parity tests skip without it
+REFERENCE_ROOT = "/root/reference"
+TESTDATA_SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s

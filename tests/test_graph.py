@@ -1,0 +1,132 @@
+"""End-to-end graph materialization + constraint invariants (K3/K4/D3).
+
+Runs build_movie_graph on fixture-shaped nested docs and asserts the
+uniqueness constraints mirrored from kg_scripts/1_constraints.cypher —
+including the AVAILABLE_ON composite key (relationship_id, type) and
+the ACTED_IN relationship_id dedup.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from movie_etl_spark.operators.clean import clean_movie_details
+from movie_etl_spark.operators.upsert import assert_unique
+from movie_etl_spark.plans.graph import build_movie_graph
+from movie_etl_spark.schemas import RAW_MOVIE_DETAILS
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    # two movies sharing a person; one person with two characters in one
+    # movie (the ACTED_IN dedup case); one unknown crew department
+    docs = [
+        {
+            "id": 1,
+            "title": "A",
+            "overview": "first",
+            "release_date": "2020-01-01",
+            "popularity": 1.0,
+            "budget": 10,
+            "revenue": 20,
+            "runtime": 100,
+            "belongs_to_collection": {"id": 7, "name": "C"},
+            "genres": [{"id": 878, "name": "SF"}, {"id": 28, "name": "Action"}],
+            "spoken_languages": [{"iso_639_1": "en", "english_name": "English"}],
+            "production_countries": [{"iso_3166_1": "US", "name": "US"}],
+            "credits": {
+                "cast": [
+                    {"id": 9, "name": "P9", "gender": 2, "character": "Hero", "order": 0},
+                    {"id": 9, "name": "P9", "gender": 2, "character": "Alt", "order": 1},
+                    {"id": 8, "name": "P8", "gender": 1, "character": "Cop", "order": 2},
+                ],
+                "crew": [
+                    {"id": 5, "name": "P5", "gender": 1, "job": "Director",
+                     "department": "Directing"},
+                    {"id": 6, "name": "P6", "gender": 0, "job": "Mystery",
+                     "department": "NotADepartment"},
+                ],
+            },
+            "watch_providers": {
+                "US": {
+                    "buy": [{"provider_id": 2, "provider_name": "Apple TV"}],
+                    "rent": [],
+                    "flatrate": [{"provider_id": 8, "provider_name": "Netflix"}],
+                }
+            },
+        },
+        {
+            "id": 2,
+            "title": "B",
+            "overview": "",
+            "release_date": "2021-01-01",
+            "popularity": 0.0,
+            "budget": 0,
+            "revenue": 0,
+            "runtime": 90,
+            "genres": [{"id": 878, "name": "SF"}],
+            "spoken_languages": [],
+            "production_countries": [],
+            "credits": {
+                "cast": [
+                    {"id": 9, "name": "P9", "gender": 2, "character": "Lead", "order": 0}
+                ],
+                "crew": [],
+            },
+            "watch_providers": {},
+        },
+    ]
+    raw = spark.createDataFrame(
+        [{f.name: d.get(f.name) for f in RAW_MOVIE_DETAILS.fields} for d in docs],
+        RAW_MOVIE_DETAILS,
+    )
+    return build_movie_graph(clean_movie_details(raw))
+
+
+def test_node_uniqueness(graph):
+    assert_unique(graph["nodes/Movie"], ["movie_id"])
+    assert_unique(graph["nodes/Person"], ["person_id"])
+    assert_unique(graph["nodes/Genre"], ["genre_id"])
+    assert graph["nodes/Movie"].count() == 2
+    # person 9 appears in both movies but is one node
+    assert graph["nodes/Person"].count() == 4
+
+
+def test_acted_in_dedup_and_uniqueness(graph):
+    acted = graph["edges/ACTED_IN"].collect()
+    by_id = {}
+    for r in acted:
+        assert r["relationship_id"] not in by_id
+        by_id[r["relationship_id"]] = r["role"]
+    # one-movie double character collapsed; lowest role survives
+    assert by_id["1-9"] == "Alt"
+    assert by_id["2-9"] == "Lead"
+    assert by_id["1-8"] == "Cop"
+
+
+def test_crew_edges_drop_unknown_department(graph):
+    crew = graph["edges/CREW"].collect()
+    assert {r["rel_type"] for r in crew} == {"DIRECTED_BY"}
+    assert_unique(graph["edges/CREW"], ["rel_type", "relationship_id"])
+
+
+def test_available_on_composite_key(graph):
+    rows = graph["edges/AVAILABLE_ON"].collect()
+    # same relationship_id may repeat across types, never within one
+    keys = [(r["relationship_id"], r["type"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    types = {r["type"] for r in rows}
+    assert "subscription" in types and "flatrate" not in types
+
+
+def test_sentinel_nulls_on_movie_nodes(graph):
+    b = {r["movie_id"]: r for r in graph["nodes/Movie"].collect()}[2]
+    assert b["overview"] is None  # "" -> NULL
+    assert b["popularity"] is None and b["budget"] is None  # 0 -> NULL
+    assert b["runtime"] == 90
+
+
+def test_person_gender_decoded(graph):
+    genders = {r["person_id"]: r["gender"] for r in graph["nodes/Person"].collect()}
+    assert genders[9] == "Male" and genders[5] == "Female"
+    assert genders[6] == "Not specified"

@@ -1,0 +1,59 @@
+"""F9 — HTML DOM-selector extraction (the engine's only Python hot-path,
+reference tasks/etl_task.py:338-436)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_etl_spark.functions.html import html_select, select_text
+
+PAGE = """
+<html><body>
+  <div class="other"><rt-text slot="criticsScore">99%</rt-text></div>
+  <div class="media-scorecard extra">
+    <rt-text slot="criticsScore"> 87% </rt-text>
+    <rt-link slot="criticsReviews">1,234 Reviews</rt-link>
+    <div id="P345"><a class="wb-external-id external">tt0111161</a></div>
+  </div>
+</body></html>
+"""
+
+
+def test_chained_selector_skips_decoy():
+    assert select_text(
+        PAGE, [("div", "class", "media-scorecard"), ("rt-text", "slot", "criticsScore")]
+    ) == "87%"
+
+
+def test_class_token_match():
+    # "media-scorecard extra" matches token, not full-string equality
+    assert select_text(
+        PAGE, [("div", "class", "media-scorecard"), ("rt-link", "slot", "criticsReviews")]
+    ) == "1,234 Reviews"
+
+
+def test_id_then_class_chain():
+    assert select_text(
+        PAGE,
+        [("div", "id", "P345"), ("a", "class", "wb-external-id")],
+    ) == "tt0111161"
+
+
+def test_missing_selector_is_null():
+    assert select_text(PAGE, [("div", "class", "nope")]) is None
+    assert select_text(None, [("div", None, None)]) is None
+
+
+def test_malformed_html_does_not_raise():
+    assert select_text("<div class='a'><p>un<closed", [("p", None, None)]) == "un"
+
+
+def test_vectorized_udf(spark):
+    df = spark.createDataFrame([(1, PAGE), (2, "<p>no match</p>"), (3, None)],
+                               "i long, page string")
+    out = {r.i: r.txt for r in df.select(
+        "i",
+        html_select("page", [("div", "class", "media-scorecard"),
+                             ("rt-text", "slot", "criticsScore")]).alias("txt"),
+    ).collect()}
+    assert out == {1: "87%", 2: None, 3: None}

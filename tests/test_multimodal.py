@@ -1,0 +1,45 @@
+"""Multimodal binary-column plumbing (Arrow-batched mapInPandas)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_etl_spark.operators.multimodal import extract_features, sample_frames
+from movie_etl_spark.schemas import MULTIMODAL_ASSET
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (1, "image", b"\x89PNG-fake-bytes", "image/png", 10, 10, None),
+        (2, "video", b"\x00\x00ftyp-fake", "video/mp4", 640, 480, 2500),
+        (3, "image", None, "image/png", None, None, None),
+    ]
+    return spark.createDataFrame(rows, MULTIMODAL_ASSET)
+
+
+def test_extract_features_fake_path(assets):
+    out = {r.asset_id: r for r in extract_features(assets, fake_decode=True).collect()}
+    assert out[1].byte_len == len(b"\x89PNG-fake-bytes")
+    assert out[1].content_md5 == hashlib.md5(b"\x89PNG-fake-bytes").hexdigest()
+    assert len(out[1].feature) == 8
+    assert all(0.0 <= v <= 1.0 for v in out[1].feature)
+    # NULL payload -> md5 of empty bytes, length 0
+    assert out[3].byte_len == 0
+    assert out[3].content_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_extract_features_real_decode_is_stubbed(assets):
+    with pytest.raises(Exception, match="image decoding requires"):
+        extract_features(assets, fake_decode=False).collect()
+
+
+def test_sample_frames_fanout(assets):
+    frames = sample_frames(assets, every_ms=1000).collect()
+    # only the video asset fans out: ts 0, 1000, 2000 for 2500 ms
+    assert {r.asset_id for r in frames} == {2}
+    assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000]
+    assert all(r.mime_type == "video/mp4" for r in frames)

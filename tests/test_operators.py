@@ -1,0 +1,103 @@
+"""Unit tests for join/upsert/hierarchy operators (J1-J4, D1-D4, K7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_etl_spark.operators.joins import (
+    build_edges,
+    hierarchy_closure,
+    keep_existing,
+    keep_new,
+)
+from movie_etl_spark.operators.upsert import (
+    assert_unique,
+    dedup_by_key,
+    insert_if_absent,
+    rollback_key,
+)
+
+
+@pytest.fixture(scope="module")
+def kv(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+
+
+def test_keep_existing_and_new(spark, kv):
+    probe = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    assert {r.k for r in keep_existing(kv, probe, ["k"]).collect()} == {2, 3}
+    assert {r.k for r in keep_new(kv, probe, ["k"]).collect()} == {1}
+
+
+def test_insert_if_absent_first_wins(spark, kv):
+    new = spark.createDataFrame([(3, "x"), (4, "y"), (4, "z")], "k int, v string")
+    out = insert_if_absent(kv, new, ["k"], order_col="v")
+    rows = dict((r.k, r.v) for r in out.collect())
+    assert rows == {1: "a", 2: "b", 3: "c", 4: "y"}
+    assert_unique(out, ["k"])
+
+
+def test_assert_unique_raises(spark):
+    dupes = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with pytest.raises(ValueError, match="uniqueness violation"):
+        assert_unique(dupes, ["k"])
+
+
+def test_dedup_by_key_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "z"), (1, "a"), (2, "m")], "k int, v string"
+    )
+    out = {(r.k, r.v) for r in dedup_by_key(df, ["k"], "v").collect()}
+    assert out == {(1, "a"), (2, "m")}
+
+
+def test_rollback_key(spark, kv):
+    out = rollback_key(kv, "k", [1, 3])
+    assert [r.k for r in out.collect()] == [2]
+
+
+def test_build_edges_referential_integrity(spark):
+    edges = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 99, 6.0), (77, 10, 7.0)], "h int, t int, w double"
+    )
+    heads = spark.createDataFrame([(1,), (2,)], "h int")
+    tails = spark.createDataFrame([(10,), (11,)], "t int")
+    out = build_edges(edges, heads, tails, "h", "t", "REL", payload=["w"]).collect()
+    # only the edge with BOTH endpoints present survives
+    assert len(out) == 1
+    r = out[0]
+    assert (r.head_id, r.tail_id, r.rel_type, r.relationship_id, r.w) == (
+        1, 10, "REL", "1-10", 5.0,
+    )
+
+
+def test_hierarchy_closure_resolves_chain(spark):
+    nodes = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", None), ("solo", None)],
+        "id string, parent string",
+    )
+    out = {r.id: (r.root_id, r.depth) for r in
+           hierarchy_closure(nodes, "id", "parent").collect()}
+    assert out == {
+        "a": ("c", 2), "b": ("c", 1), "c": ("c", 0), "solo": ("solo", 0),
+    }
+
+
+def test_hierarchy_closure_cycle_strict_raises(spark):
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "id string, parent string"
+    )
+    with pytest.raises(ValueError, match="unresolved"):
+        hierarchy_closure(cyc, "id", "parent", max_depth=4)
+
+
+def test_hierarchy_closure_cycle_nonstrict_flags(spark):
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", None)], "id string, parent string"
+    )
+    out = {r.id: r.unresolved for r in
+           hierarchy_closure(cyc, "id", "parent", max_depth=4, strict=False).collect()}
+    assert out == {"a": True, "b": True, "c": False}

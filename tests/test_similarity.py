@@ -1,0 +1,60 @@
+"""ANN similarity search: brute-force baseline vs LSH scale path."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from movie_etl_spark.functions.vectors import cosine_similarity
+from movie_etl_spark.operators.similarity import brute_force_top_k, lsh_top_k
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 0.1, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]),
+        (3, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),  # other bucket
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    out = [r[0] for r in df.select(cosine_similarity("a", "b")).collect()]
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == pytest.approx(0.0)
+    assert out[2] is None  # zero-norm -> NULL, not NaN
+
+
+def test_brute_force_exact(vectors):
+    out = brute_force_top_k(vectors, vectors, k=1).collect()
+    best = {r.query_id: r.neighbor_id for r in out}
+    assert best[0] == 1 and best[1] == 0  # mutual nearest
+    # cosine values are exact
+    row = {r.query_id: r.cosine for r in out}
+    expect = (0.9 + 4) / (math.sqrt(5) * math.sqrt(0.81 + 0.01 + 4))
+    assert row[0] == pytest.approx(expect, abs=1e-6)
+
+
+def test_lsh_matches_brute_force_within_bucket(vectors):
+    bf = {(r.query_id, r.rank): r.neighbor_id
+          for r in brute_force_top_k(vectors, vectors, k=2).collect()
+          if r.query_id in (0, 1, 2)}
+    lsh = {(r.query_id, r.rank): r.neighbor_id
+           for r in lsh_top_k(vectors, vectors, k=2).collect()
+           if r.query_id in (0, 1, 2)}
+    # vectors 0,1,2 share the all-positive sign bucket: identical top-2
+    assert lsh == bf
+
+
+def test_lsh_respects_buckets(vectors):
+    out = lsh_top_k(vectors, vectors, k=3).collect()
+    # vector 3 is alone in the all-negative bucket: no candidates at all
+    assert not any(r.query_id == 3 for r in out)
+    assert not any(r.neighbor_id == 3 for r in out)

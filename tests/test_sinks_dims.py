@@ -1,0 +1,65 @@
+"""Seeded dimensions (S5) and file sinks (K1/K2/K5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_etl_spark.sources.dims import (
+    seeded_countries,
+    seeded_genres,
+    seeded_languages,
+    seeded_providers,
+)
+from movie_etl_spark.sources.readers import read_csv
+from movie_etl_spark.sources.sinks import append_if_absent, write_csv, write_parquet
+
+
+def test_dim_cardinalities_match_reference_seeds(spark):
+    # kg_scripts/2_init_nodes.cypher: 19 + 187 + 249 + 619 MERGE literals
+    assert seeded_genres(spark).count() == 19
+    assert seeded_languages(spark).count() == 187
+    assert seeded_countries(spark).count() == 249
+    assert seeded_providers(spark).count() == 619
+
+
+def test_dim_spot_values(spark):
+    g = {r.genre_id: r.name for r in seeded_genres(spark).collect()}
+    assert g[878] == "Science Fiction"
+    langs = {r.language_id: r.name for r in seeded_languages(spark).collect()}
+    assert langs["en"] == "English" and langs["ru"] == "Russian"
+    c = {r.country_id: r.name for r in seeded_countries(spark).collect()}
+    assert c["US"].startswith("United States")
+    p = {r.provider_id: r.name for r in seeded_providers(spark).collect()}
+    assert p[8] == "Netflix"
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = seeded_genres(spark)
+    path = str(tmp_path / "genres_csv")
+    write_csv(df, path, columns=["genre_id", "name"])
+    back = read_csv(spark, path)
+    assert {(r.genre_id, r.name) for r in back.collect()} == {
+        (r.genre_id, r.name) for r in df.collect()
+    }
+
+
+def test_parquet_round_trip(spark, tmp_path):
+    df = seeded_countries(spark)
+    path = str(tmp_path / "countries_pq")
+    write_parquet(df, path)
+    assert spark.read.parquet(path).count() == 249
+
+
+def test_append_if_absent_idempotent(spark, tmp_path):
+    path = str(tmp_path / "target_pq")
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    again = spark.createDataFrame([(2, "DUP"), (3, "c"), (3, "ALSO")], "k int, v string")
+
+    assert append_if_absent(spark, first, path, ["k"]) == 2
+    # keyed re-load: conflicting key dropped, internal dup collapsed
+    assert append_if_absent(spark, again, path, ["k"], order_col="v") == 1
+    # exact replay is a no-op
+    assert append_if_absent(spark, again, path, ["k"], order_col="v") == 0
+
+    final = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert final == {(1, "a"), (2, "b"), (3, "ALSO")}

@@ -1,0 +1,53 @@
+"""Streaming semantics: the batch plan and the Structured Streaming run
+of windowed_counts must agree (the engine's weekly-incremental story,
+SURVEY.md §2.10 X6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from movie_etl_spark.session import load_table
+from movie_etl_spark.streaming.events import run_stream_over_parquet, windowed_counts
+from tests.conftest import TESTDATA_SF0001
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(TESTDATA_SF0001), reason="driver testdata not available"
+)
+
+
+@needs_testdata
+def test_stream_equals_batch(spark, tmp_path):
+    events = load_table(spark, TESTDATA_SF0001, "events")
+    # stage a copy with the ts already a proper timestamp so the stream
+    # reads the same shape the batch plan sees
+    staged = str(tmp_path / "events_staged")
+    events.write.parquet(staged)
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_counts(events, window_duration="1 hour").collect()
+    }
+    streamed_df = run_stream_over_parquet(
+        spark, staged, spark.read.parquet(staged).schema,
+        out_table="wc_test", window_duration="1 hour",
+    )
+    # update-mode sink may emit a window several times across batches;
+    # the LAST emit per key is the final state (single batch here)
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in streamed_df.collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
+@needs_testdata
+def test_windowed_counts_is_streamable(spark, tmp_path):
+    events = load_table(spark, TESTDATA_SF0001, "events")
+    staged = str(tmp_path / "events_staged2")
+    events.write.parquet(staged)
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    agg = windowed_counts(stream, window_duration="1 hour")
+    assert agg.isStreaming  # watermark branch taken, plan still builds

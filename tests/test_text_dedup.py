@@ -1,0 +1,113 @@
+"""Text functions + dedup operators (LLM-pipeline surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_etl_spark.functions.text import (
+    char_shingles,
+    doc_fingerprint,
+    language_scores,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from movie_etl_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs_minhash,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "The quick brown fox jumps over the lazy dog near the river bank now"),
+        (3, "completely different content about spark dataframes and shuffles"),
+        (4, ""),
+        (5, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_and_ratios(spark):
+    df = spark.createDataFrame([(1, "The cat, and a hat!!")], "i long, text string")
+    r = df.select(
+        token_count("text").alias("n"),
+        F.round(punct_ratio("text"), 3).alias("p"),
+        F.round(stopword_ratio("text"), 3).alias("s"),
+    ).collect()[0]
+    assert r.n == 5
+    # 3 punct chars (, ! !) of 20 chars
+    assert r.p == round(3 / 20, 3)
+    # stopwords: The, and, a -> 3/5
+    assert r.s == 0.6
+
+
+def test_empty_text_edges(docs):
+    rows = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        char_shingles("text").alias("sh"),
+        doc_fingerprint("text").alias("fp"),
+    ).collect()}
+    assert rows[4].n == 0 and rows[5].n == 0
+    assert rows[4].sh == [] and rows[5].sh == []  # no [""] shingle
+    assert rows[4].fp == rows[5].fp  # both normalize to ""
+
+
+def test_language_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is with us"),
+            (2, "el gato y la casa con los perros que"),
+            (3, "der hund und die katze ist mit"),
+            (4, "zzz qqq xxx"),
+        ],
+        "i long, text string",
+    )
+    out = {r.i: r.lang for r in df.select(
+        "i", language_scores("text").alias("lang")
+    ).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_exact_dedup_min_survivor(docs):
+    out = {r.fingerprint: r.doc_id for r in exact_dedup(docs, "text", "doc_id").collect()}
+    # docs 0 and 1 identical -> one fingerprint, min id 0 survives
+    assert 0 in out.values() and 1 not in out.values()
+    # empty docs 4 and 5 share the empty fingerprint, min id 4 survives
+    assert 4 in out.values() and 5 not in out.values()
+
+
+def test_minhash_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             near_dup_pairs_minhash(docs, "text", "doc_id").collect()}
+    assert pairs.get((0, 1)) == 1.0  # identical docs
+    # empty docs must NOT pair (the [""]-shingle regression)
+    assert (4, 5) not in pairs
+    # unrelated content must not pair with the fox docs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, "text", "doc_id").collect()}
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0  # near, not exact
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_properties(docs):
+    out = {r.doc_id: r.simhash for r in simhash(docs, "text", "doc_id").collect()}
+    assert out[0] == out[1]  # identical text, identical signature
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+    assert all(0 <= v < 2**32 for v in out.values())
+    # empty docs produce no tokens -> no signature rows
+    assert 4 not in out and 5 not in out
