@@ -112,3 +112,38 @@ def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
 def md5_band(cols: list[Column]) -> Column:
     """Hash a band of minhash values into one bucket key."""
     return F.md5(F.concat_ws("|", *cols))
+
+
+def language_id_table(df, text_col: str, id_col: str):
+    """Set-oriented language ID: ONE explode + ONE aggregation with a
+    conditional sum per language, then an argmax projection.
+
+    Same semantics as :func:`language_scores` (all-occurrence marker
+    counts, earliest-sorted-language tie-break, 'und' on zero hits) but
+    the scoring runs as plain codegen'd conditional sums over exploded
+    tokens instead of five interpreted higher-order filters per row —
+    the plan that survives 100 TB: explode is pipelined, the single
+    groupBy is the only shuffle.
+    """
+    from movie_etl_spark.session import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn("_tok", F.lower(F.col("_tok")))
+    langs = sorted(LANGUAGE_MARKERS)
+    scores = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("_tok").isin(LANGUAGE_MARKERS[lang]), 1).otherwise(0)
+            ).alias(f"_s_{lang}")
+            for lang in langs
+        ]
+    )
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
+    pick = F.lit("und")
+    for lang in reversed(langs):  # build CASE so earliest lang wins ties
+        pick = F.when(
+            (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pick)
+    return scores.select(F.col(id_col), pick.alias("lang_id"))

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from movie_etl_spark.functions.text import char_shingles, doc_fingerprint, tokens
+from movie_etl_spark.session import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -36,6 +37,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int, stride: int) -> DataFrame:
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         F.explode(F.array_distinct(char_shingles(text_col, k, stride))).alias("shingle"),
@@ -48,6 +50,14 @@ def _minhash_expr(i: int, shingle: Column) -> Column:
     return F.min(F.md5(F.concat(F.lit(f"{i}:"), shingle))).alias(f"mh_{i}")
 
 
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    return sh.groupBy(id_col).agg(
+        *[_minhash_expr(i, F.col("shingle")) for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -58,9 +68,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{n-1}) — the whole signature in ONE aggregation."""
     sh = _shingle_rows(df, text_col, id_col, shingle_k, shingle_stride)
-    return sh.groupBy(id_col).agg(
-        *[_minhash_expr(i, F.col("shingle")) for i in range(num_hashes)]
-    )
+    return _signatures_from_shingles(sh, id_col, num_hashes)
 
 
 def near_dup_pairs_minhash(
@@ -77,8 +85,15 @@ def near_dup_pairs_minhash(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 decimals (ratio of integer counts — exact in both engines).
+
+    The shingle inverted index is built ONCE and persisted (memory,
+    spill-to-disk): it feeds the signatures, the doc sizes, and both
+    sides of the verification join — recomputing the explode 4x is the
+    naive plan's dominant cost. At cluster scale the same index would
+    be a checkpointed/bucketed table.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_stride)
+    sh = _shingle_rows(df, text_col, id_col, shingle_k, shingle_stride).persist()
+    sigs = _signatures_from_shingles(sh, id_col, num_hashes)
     n_bands = num_hashes // band_size
     bands = sigs.select(
         F.col(id_col),
@@ -116,7 +131,6 @@ def near_dup_pairs_minhash(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh = _shingle_rows(df, text_col, id_col, shingle_k, shingle_stride)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -150,26 +164,42 @@ def ngram_jaccard_pairs(
     n: int = 3,
     jaccard_threshold: float = 0.5,
     max_ngram_freq: int = 20,
+    min_shared: int = 3,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs.
 
-    Candidate generation: pairs sharing at least one *rare* n-gram
-    (document frequency <= max_ngram_freq) — an inverted-index join that
-    avoids the O(n^2) cross product; frequency-capping keeps hub n-grams
-    from exploding the candidate set (classic skew control).
+    Candidate generation: pairs sharing at least ``min_shared`` *rare*
+    n-grams (document frequency <= max_ngram_freq) — an inverted-index
+    join that avoids the O(n^2) cross product. Two knobs control the
+    candidate volume, both forms of skew control: the frequency cap
+    stops hub n-grams from fanning out quadratically, and the
+    shared-count floor drops coincidental single-gram collisions before
+    the (expensive) exact-intersection verification — on a dense
+    vocabulary one shared gram admits millions of pairs that exact
+    Jaccard would reject anyway. A true near-dup at ``jaccard >= 0.5``
+    shares a third of its grams, far above any sane ``min_shared``;
+    only degenerate docs with < ``min_shared`` total grams can be
+    missed (documented recall bound).
     """
-    toks = df.select(F.col(id_col), tokens(text_col).alias("toks"))
-    grams = toks.select(
-        id_col,
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+    toks = ensure_parallelism(df).select(F.col(id_col), tokens(text_col).alias("toks"))
+    # the gram inverted index feeds document frequencies, the candidate
+    # join (twice) and the intersection join (twice): persist it once
+    # (memory, spill-to-disk) instead of re-running the explode 5x
+    grams = (
+        toks.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+                    )
                 )
-            )
-        ).alias("gram"),
-    ).filter(F.length("gram") > 0)
+            ).alias("gram"),
+        )
+        .filter(F.length("gram") > 0)
+        .persist()
+    )
     df_counts = grams.groupBy("gram").agg(F.count("*").alias("df_count"))
     rare = grams.join(
         df_counts.filter(F.col("df_count") <= max_ngram_freq).select("gram"), "gram"
@@ -178,8 +208,10 @@ def ngram_jaccard_pairs(
         rare.select(F.col(id_col).alias("id_a"), "gram")
         .join(rare.select(F.col(id_col).alias("id_b"), "gram"), "gram")
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n_shared"))
+        .filter(F.col("_n_shared") >= min_shared)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     g_a = grams.select(F.col(id_col).alias("id_a"), "gram")
@@ -211,7 +243,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     explode + one groupBy; the signature assembles from ``bits``
     conditional sums in a single aggregation.
     """
-    tok = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(tokens(text_col)).alias("tok"),
     ).withColumn(

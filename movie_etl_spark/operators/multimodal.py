@@ -77,7 +77,9 @@ def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    from movie_etl_spark.session import ensure_parallelism
+
+    return ensure_parallelism(assets).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -700,8 +700,10 @@ def _lang_scores_sql() -> str:
     "deterministic tie-break by language code (functions.text.language_scores)",
 )
 def q_t2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.text import language_id_table
+
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", language_scores("text").alias("lang_id"))
+    return language_id_table(d, "text", "doc_id")
 
 
 @register(
@@ -790,9 +792,10 @@ def q_dd3_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare AS (SELECT g.doc_id, g.gram FROM grams g
              JOIN dfc ON dfc.gram = g.gram AND dfc.df_count <= 20),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM rare a JOIN rare b ON a.gram = b.gram
       WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
@@ -1039,4 +1042,172 @@ def q_f9_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         parse_percent(score_txt).alias("critic_score"),
         parse_count_with_commas(count_txt).alias("num_critic"),
+    )
+
+
+# =====================================================================
+# Additional operator coverage: scalar parsers (F2/F4/F5), MERGE dedup
+# (D4), rollback (K7), pivot, window frames, approx aggregation
+# =====================================================================
+
+@register(
+    "f2_score_scale",
+    """
+    SELECT p_partkey,
+           CAST(CAST(score AS DOUBLE) * 10 AS INT) AS score_x10
+    FROM (SELECT p_partkey,
+                 CAST(round(p_retailprice / 1000.0, 1) AS VARCHAR) AS score
+          FROM part) t
+    """,
+    doc="F2 score scaling (0-10 -> 0-100, reference etl_task.py:378): "
+    "string score parsed and x10'd JVM-side",
+)
+def q_f2_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.cleaning import scale_score_x10
+
+    part = _t(spark, sf_dir, "part")
+    score = F.round(F.col("p_retailprice") / 1000.0, 1).cast("string")
+    return part.select(
+        "p_partkey", scale_score_x10(score).alias("score_x10")
+    )
+
+
+@register(
+    "f4_count_parsers",
+    """
+    SELECT o_orderkey,
+           CAST(regexp_replace(regexp_extract(blob, '(\\d[\\d,]*)', 1), ',', '', 'g')
+                AS BIGINT) AS n_comma,
+           CAST(nullif(regexp_extract(blob, '(\\d+) (?:Reviews|Ratings|Review|Rating)', 1), '')
+                AS BIGINT) AS n_reviews
+    FROM (SELECT o_orderkey,
+                 format('{:,} Reviews', o_orderkey) AS blob
+          FROM orders) t
+    """,
+    doc="F4/F5 comma-grouped count + review-count regex parsers "
+    "(reference etl_task.py:429,436; utils/etl.py:69-71) — numbers are "
+    "comma-formatted then parsed back, oracle checks the round-trip",
+)
+def q_f4_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.cleaning import (
+        parse_count_with_commas,
+        parse_review_count,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    blob = F.concat(F.format_number("o_orderkey", 0), F.lit(" Reviews"))
+    return o.select(
+        "o_orderkey",
+        parse_count_with_commas(blob).alias("n_comma"),
+        parse_review_count(blob).alias("n_reviews"),
+    )
+
+
+@register(
+    "d4_merge_dedup",
+    """
+    SELECT o_custkey, o_orderkey, o_orderpriority
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey ASC) = 1
+    """,
+    doc="D4 MERGE-style dedup: deterministic one-survivor-per-key "
+    "(operators.upsert.dedup_by_key, kg MERGE semantics)",
+)
+def q_d4_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.upsert import dedup_by_key
+
+    o = _t(spark, sf_dir, "orders")
+    return dedup_by_key(
+        o.select("o_custkey", "o_orderkey", "o_orderpriority"),
+        ["o_custkey"],
+        order_col="o_orderkey",
+    )
+
+
+@register(
+    "k7_rollback",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+    """,
+    doc="K7 compensation/rollback: cascading removal of rolled-back keys "
+    "(operators.upsert.rollback_key = utils/etl.py:87-120's DELETEs as a "
+    "declarative rewrite)",
+)
+def q_k7_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.upsert import rollback_key
+
+    c = _t(spark, sf_dir, "customer")
+    return rollback_key(
+        c.select("c_custkey", "c_name"), "c_custkey",
+        [1, 2, 3, 5, 8, 13, 21, 34, 55, 89],
+    )
+
+
+@register(
+    "p1_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="pivot (R4's provider-type inversion as a columnar pivot): "
+    "groupBy().pivot() with explicit value list so no extra "
+    "distinct-scan pass runs at scale",
+)
+def q_p1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "purchase", "view"])
+    )
+
+
+@register(
+    "w2_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="window frame: per-customer running spend (rows-frame cumulative "
+    "sum; complements w1's row_number ranking)",
+)
+def q_w2_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "ap1_approx_count_distinct",
+    None,  # HLL implementations differ across engines: rows-only check
+    doc="approximate aggregation: approx_count_distinct per segment with "
+    "a sanity band asserted in tests (HLL sketches are engine-specific, "
+    "so the driver records the rows-only check by design)",
+)
+def q_ap1_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
     )

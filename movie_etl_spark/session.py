@@ -86,3 +86,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All test tables as a dict of lazily-planned DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism.
+
+    A small parquet file arrives as ONE split -> one task -> every other
+    core idle, which turns expression-heavy per-row work (shingling,
+    hashing, pandas UDFs) into a serial bottleneck. Round-robin
+    repartition up to default parallelism when — and only when — the
+    scan produced fewer splits; at 100 TB the input already has
+    thousands of splits and this is a no-op (no shuffle added).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
