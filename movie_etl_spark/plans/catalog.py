@@ -657,7 +657,9 @@ _SQL_MINHASH_SIGS = f"""
     "md5 fingerprint — all JVM-side expressions, zero UDFs",
 )
 def q_t1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    from movie_etl_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -717,7 +719,9 @@ def q_t2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min-id survivor (operators.dedup.exact_dedup)",
 )
 def q_dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    from movie_etl_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return exact_dedup(d, "text", "doc_id")
 
 
@@ -1019,7 +1023,9 @@ def q_f9_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from movie_etl_spark.functions.html import html_select
 
-    d = _t(spark, sf_dir, "documents")
+    from movie_etl_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit(
             '<html><body><div class="other">'
@@ -1211,3 +1217,40 @@ def q_ap1_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "st2_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="session windows (dynamic gap-based windows, the canonical "
+    "stateful-streaming shape): Spark session_window vs the SQL "
+    "gaps-and-islands formulation as oracle; batch/stream dual with "
+    "watermark-bounded state (streaming.events.session_windows)",
+)
+def q_st2_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.streaming.events import session_windows
+
+    e = _t(spark, sf_dir, "events")
+    return session_windows(e, gap="30 minutes")

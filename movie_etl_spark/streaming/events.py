@@ -83,3 +83,42 @@ def run_stream_over_parquet(
     )
     q.awaitTermination()
     return spark.table(out_table)
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into
+    one session (the dynamic-window counterpart of windowed_counts).
+
+    Batch/streaming dual like :func:`windowed_counts`; in streaming
+    mode, session state closes once the watermark passes the gap — the
+    canonical stateful-streaming shape with bounded state. The batch
+    result is SQL-checkable via the gaps-and-islands formulation (lag +
+    cumulative session flags), which the oracle uses.
+    """
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )

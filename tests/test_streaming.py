@@ -51,3 +51,36 @@ def test_windowed_counts_is_streamable(spark, tmp_path):
     stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
     agg = windowed_counts(stream, window_duration="1 hour")
     assert agg.isStreaming  # watermark branch taken, plan still builds
+
+
+@needs_testdata
+def test_session_windows_stream_equals_batch(spark, tmp_path):
+    from movie_etl_spark.streaming.events import session_windows
+
+    events = load_table(spark, TESTDATA_SF0001, "events")
+    staged = str(tmp_path / "events_sess")
+    events.write.parquet(staged)
+
+    import pyspark.sql.functions as F
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # append mode only emits sessions the watermark has closed; with a
+    # zero-delay watermark that is every session ending at or before the
+    # stream's max event time — compare against the same batch prefix
+    batch = {
+        (r.session_start, r.user_id): (r.n_events, r.total_value)
+        for r in session_windows(events, gap="30 minutes").collect()
+        if r.session_end <= max_ts
+    }
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    agg = session_windows(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory").queryName("sess_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.session_start, r.user_id): (r.n_events, r.total_value)
+        for r in spark.table("sess_test").collect()
+    }
+    assert streamed == batch and len(batch) > 0
