@@ -1254,3 +1254,45 @@ def q_st2_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return session_windows(e, gap="30 minutes")
+
+
+def _genre_values_sql() -> str:
+    from movie_etl_spark.sources.dims import GENRES
+
+    rows = ", ".join(
+        f"({i}, {gid}, '{name}')"
+        for i, (gid, name) in enumerate(sorted(GENRES))
+    )
+    return f"(VALUES {rows}) AS g(idx, genre_id, genre_name)"
+
+
+@register(
+    "s5_seeded_dim_join",
+    f"""
+    SELECT g.genre_name, count(*) AS n_parts
+    FROM (SELECT CAST(p_partkey % 19 AS INT) AS idx FROM part) p
+    JOIN {_genre_values_sql()} ON g.idx = p.idx
+    GROUP BY 1
+    """,
+    doc="S5 seeded dimension exercised through the driver: the literal "
+    "broadcast genre dim (sources.dims, 2_init_nodes.cypher:2-20) joined "
+    "to a fact-derived key; the oracle inlines the same 19 values",
+)
+def q_s5_seeded_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.sources.dims import GENRES, seeded_genres
+
+    part = _t(spark, sf_dir, "part")
+    ordered = sorted(GENRES)
+    idx_pairs = []
+    for i, (gid, _) in enumerate(ordered):
+        idx_pairs += [F.lit(i), F.lit(gid)]
+    idx_to_id = F.create_map(*idx_pairs)
+    keyed = part.select(
+        idx_to_id[(F.col("p_partkey") % 19).cast("int")].alias("genre_id")
+    )
+    dim = seeded_genres(spark).withColumnRenamed("name", "genre_name")
+    return (
+        keyed.join(dim, "genre_id")
+        .groupBy("genre_name")
+        .agg(F.count("*").alias("n_parts"))
+    )
