@@ -1296,3 +1296,84 @@ def q_s5_seeded_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("genre_name")
         .agg(F.count("*").alias("n_parts"))
     )
+
+
+@register(
+    "g1_clean_explode_edges",
+    """
+    WITH acted AS (
+      SELECT l.l_orderkey AS head_id,
+             l.l_partkey  AS tail_id,
+             'c' || l.l_linenumber AS role
+      FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      QUALIFY row_number() OVER (
+        PARTITION BY l.l_orderkey, l.l_partkey
+        ORDER BY 'c' || l.l_linenumber ASC) = 1
+    )
+    SELECT head_id, tail_id,
+           head_id || '-' || tail_id AS relationship_id,
+           'ACTED_IN' AS rel_type,
+           role
+    FROM acted
+    """,
+    doc="movie-domain pipeline end-to-end through the driver: nested "
+    "docs (synthesized from orders+lineitem in the RAW_MOVIE_DETAILS "
+    "shape) -> clean_movie_details (C1 nested transform) -> explode_cast "
+    "(R bridge) -> build_edges + relationship_id dedup (J3/K4/D3, "
+    "ACTED_IN semantics). Oracle recovers the same edges relationally",
+)
+def q_g1_clean_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.clean import clean_movie_details
+    from movie_etl_spark.operators.joins import build_edges
+    from movie_etl_spark.operators.reshape import explode_cast
+    from movie_etl_spark.operators.upsert import dedup_by_key
+    from movie_etl_spark.schemas import RAW_MOVIE_DETAILS
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    cast_member = F.struct(
+        F.col("l_partkey").cast("int").alias("id"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("name"),
+        (F.col("l_partkey") % 4).cast("int").alias("gender"),
+        F.concat(F.lit("c"), F.col("l_linenumber").cast("string")).alias("character"),
+        F.col("l_linenumber").cast("int").alias("order"),
+    )
+    casts = li.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.collect_list(cast_member).alias("cast")
+    )
+    # nested docs in the RAW_MOVIE_DETAILS shape: unreferenced fields
+    # NULL-typed so the C1 cleaner runs its real nested projection
+    null_fields = {
+        f.name: F.lit(None).cast(f.dataType).alias(f.name)
+        for f in RAW_MOVIE_DETAILS.fields
+        if f.name not in ("id", "title", "credits")
+    }
+    raw = (
+        orders.join(casts, orders.o_orderkey == casts.id)
+        .select(
+            F.col("o_orderkey").cast("int").alias("id"),
+            F.col("o_orderpriority").alias("title"),
+            F.struct(
+                F.col("cast"),
+                F.lit(None)
+                .cast(RAW_MOVIE_DETAILS["credits"].dataType["crew"].dataType)
+                .alias("crew"),
+            ).alias("credits"),
+            *null_fields.values(),
+        )
+    )
+    clean = clean_movie_details(raw)
+    movies = clean.select("movie_id")
+    acted = explode_cast(clean).withColumnRenamed("character", "role")
+    persons = acted.select("person_id").dropDuplicates()
+    edges = dedup_by_key(
+        build_edges(
+            acted, movies, persons, "movie_id", "person_id", "ACTED_IN",
+            payload=["role"],
+        ),
+        ["relationship_id"],
+        order_col="role",
+    )
+    return edges.select("head_id", "tail_id", "relationship_id", "rel_type", "role")

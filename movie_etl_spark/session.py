@@ -54,6 +54,14 @@ def get_spark(app_name: str = "movie-etl-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep saveAsTable/bucketBy output out of the repo cwd (static
+        # conf — must be set before the session exists)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/movie-etl-spark-warehouse"
+            ),
+        )
     )
     return builder.getOrCreate()
 

@@ -1,0 +1,42 @@
+"""Bucketed co-located joins: the shuffle-elimination technique for
+repeated large-fact joins at 100 TB (SURVEY.md scale notes).
+
+Writing both sides bucketed by the join key means the join needs NO
+exchange at read time — the classic pre-partitioning investment that
+pays off across every downstream query sharing the key.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    # warehouse dir is a static conf, set tmp-side in session.get_spark
+    orders = spark.range(0, 1000).selectExpr(
+        "id AS order_id", "id % 97 AS custkey", "id * 1.5 AS total"
+    )
+    custs = spark.range(0, 97).selectExpr("id AS custkey", "concat('c', id) AS name")
+    for name, df in (("b_orders", orders), ("b_custs", custs)):
+        df.write.bucketBy(8, "custkey").sortBy("custkey").mode(
+            "overwrite"
+        ).saveAsTable(name)
+    yield spark.table("b_orders"), spark.table("b_custs")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_custs")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
+    orders, custs = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = orders.join(custs, "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # co-located buckets: no exchange on either side of the join
+        assert "Exchange" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
