@@ -1,0 +1,45 @@
+"""Skew-mitigation operators (100 TB scale toolkit).
+
+AQE's runtime skew-join splitting (on in session.py) handles most
+cases; these helpers cover the two places it cannot: aggregations over
+a hot key, and joins where one side must replicate. Both use explicit
+salting — the standard two-phase decomposition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, keys: list[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Count per key in two phases: pre-aggregate per (key, salt) so a
+    hot key's rows split across ``salt_buckets`` reducers, then sum the
+    partials. Identical result to a plain groupBy().count(); the first
+    shuffle just carries bounded-size partitions under any skew."""
+    salted = df.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias("count"))
+
+
+def salted_broadcast_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof fact-to-small-side join: salt the fact rows, explode
+    the (small) dimension across every salt value, join on (key, salt).
+    Use when the dimension is small enough to replicate x
+    ``salt_buckets`` but a hot fact key would overwhelm one reducer in
+    a plain shuffle join. With a broadcastable dim, Catalyst broadcasts
+    the exploded side and no fact shuffle happens at all."""
+    salted_facts = facts.withColumn(
+        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_facts.join(exploded_dim, [key, "_salt"]).drop("_salt")

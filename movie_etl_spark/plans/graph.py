@@ -185,3 +185,25 @@ def build_movie_graph(
             "PART_OF",
         )
     return out
+
+
+def bulk_load_nodes_from_csv(
+    spark,
+    path: str,
+    id_col: str,
+    schema=None,
+    order_col: str | None = None,
+):
+    """K6 — CSV -> node table bulk load (tasks/kg_task.py:86-102's
+    LOAD CSV + MERGE, assembled): scan, MERGE-dedup by id, assert the
+    uniqueness constraint. The reference's bulk *relationship* Cypher is
+    malformed (kg_task.py:121-124, SURVEY §2.9) — the intended set
+    semantics are what this implements for nodes; edges go through
+    :func:`movie_etl_spark.operators.joins.build_edges` after loading
+    both endpoint tables."""
+    from movie_etl_spark.operators.upsert import assert_unique, dedup_by_key
+    from movie_etl_spark.sources.readers import read_csv
+
+    raw = read_csv(spark, path, schema=schema)
+    nodes = dedup_by_key(raw, [id_col], order_col)
+    return assert_unique(nodes, [id_col])

@@ -101,3 +101,41 @@ def test_hierarchy_closure_cycle_nonstrict_flags(spark):
     out = {r.id: r.unresolved for r in
            hierarchy_closure(cyc, "id", "parent", max_depth=4, strict=False).collect()}
     assert out == {"a": True, "b": True, "c": False}
+
+
+def test_salted_count_matches_plain(spark):
+    from movie_etl_spark.operators.skew import salted_count
+
+    df = spark.range(0, 10_000).selectExpr("CAST(id % 7 AS INT) AS k")
+    # one hot key: 90% of rows
+    hot = spark.range(0, 90_000).selectExpr("CAST(99 AS INT) AS k")
+    all_rows = df.unionByName(hot)
+    got = {(r.k, r["count"]) for r in salted_count(all_rows, ["k"]).collect()}
+    want = {(r.k, r["count"]) for r in all_rows.groupBy("k").count().collect()}
+    assert got == want
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    from movie_etl_spark.operators.skew import salted_broadcast_join
+
+    facts = spark.range(0, 20_000).selectExpr(
+        "CAST(CASE WHEN id % 10 = 0 THEN 1 ELSE id % 50 END AS INT) AS k",
+        "id AS v",
+    )
+    dim = spark.range(0, 50).selectExpr("CAST(id AS INT) AS k", "concat('d', id) AS name")
+    got = {(r.k, r.v, r.name) for r in salted_broadcast_join(facts, dim, "k").collect()}
+    want = {(r.k, r.v, r.name) for r in facts.join(dim, "k").collect()}
+    assert got == want
+
+
+def test_bulk_load_nodes_from_csv(spark, tmp_path):
+    from movie_etl_spark.plans.graph import bulk_load_nodes_from_csv
+    from movie_etl_spark.sources.sinks import write_csv
+
+    src = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "c")], "node_id int, name string"
+    )
+    path = str(tmp_path / "nodes_csv")
+    write_csv(src, path)
+    nodes = bulk_load_nodes_from_csv(spark, path, "node_id", order_col="name")
+    assert {(r.node_id, r.name) for r in nodes.collect()} == {(1, "a"), (2, "c")}
