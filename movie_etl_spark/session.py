@@ -81,6 +81,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division — bit-identical to DuckDB's TIMESTAMP_NS→TIMESTAMP
     truncation of the same column, so oracle hashes line up.
     """
+    # the driver may hand us its own session: pin the runtime-settable
+    # confs our oracle determinism depends on (UTC casts; nanos events)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
