@@ -95,3 +95,69 @@ def lsh_top_k(
         .withColumn("cosine", F.round(cosine_similarity("q_vec", "c_vec"), 6))
     )
     return _ranked_top_k(scored, k)
+
+
+def _centroids(corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic centroid seeds: the ``n_centroids`` lowest-id
+    vectors (a reproducible, engine-portable stand-in for k-means
+    training — the index structure, not the clustering quality, is the
+    point here; swap in trained centroids at will)."""
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+        )
+    )
+
+
+def ivf_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its
+    nearest centroid, probe only the query's ``n_probe`` closest
+    centroid lists, exact cosine top-k within the probed candidates.
+
+    Scale shape: centroid assignment is a crossJoin against a BOUNDED
+    broadcast side (n_centroids rows) — legitimate, unlike a
+    corpus-level cross product; the candidate fetch is a hash equi-join
+    on centroid_id. With ``n_probe == n_centroids`` probing is
+    exhaustive and results equal brute force (the test exploits this).
+    Ties break to the lowest centroid id, so assignment is total and
+    deterministic across engines.
+    """
+    cents = F.broadcast(_centroids(corpus, n_centroids, id_col, vec_col))
+
+    def assign(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)
+        ).crossJoin(cents).withColumn(
+            "c_cos", F.round(cosine_similarity(out_vec, "c_vec"), 6)
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("c_cos").desc(), F.col("centroid_id").asc()
+        )
+        return scored.withColumn("_rn", F.row_number().over(w)).drop("c_vec")
+
+    corpus_assigned = (
+        assign(corpus, "neighbor_id", "c_vec_n")
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "c_vec_n", "centroid_id")
+    )
+    query_probes = (
+        assign(queries, "query_id", "q_vec")
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        query_probes.join(corpus_assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity("q_vec", "c_vec_n"), 6))
+    )
+    return _ranked_top_k(scored, k)

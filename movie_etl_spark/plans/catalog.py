@@ -1377,3 +1377,58 @@ def q_g1_clean_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="role",
     )
     return edges.select("head_id", "tail_id", "relationship_id", "rel_type", "role")
+
+
+@register(
+    "v3_ivf_top_k",
+    """
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS c_vec
+      FROM embeddings ORDER BY vec_id ASC LIMIT 16
+    ),
+    corpus_scored AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec_n, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     c.c_vec::DOUBLE[]), 6) DESC,
+                        c.centroid_id ASC) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    corpus_assigned AS (
+      SELECT neighbor_id, c_vec_n, centroid_id FROM corpus_scored WHERE rn = 1
+    ),
+    query_probes AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, centroid_id
+      FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                       c.c_vec::DOUBLE[]), 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn <= 4
+    )
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(q_vec::DOUBLE[], c_vec_n::DOUBLE[]), 6)
+             AS cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(q_vec::DOUBLE[],
+                                                   c_vec_n::DOUBLE[]), 6) DESC,
+                      neighbor_id ASC) AS INT) AS rank
+    FROM query_probes JOIN corpus_assigned USING (centroid_id)
+    WHERE query_id <> neighbor_id
+    QUALIFY rank <= 3
+    """,
+    doc="IVF ANN: nearest-centroid assignment (bounded broadcast cross "
+    "join) + n_probe=4 of 16 centroid lists + exact top-k within "
+    "candidates — the inverted-file index shape at scale "
+    "(operators.similarity.ivf_top_k)",
+)
+def q_v3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.similarity import ivf_top_k
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_top_k(e, e, k=3, n_centroids=16, n_probe=4)

@@ -58,3 +58,39 @@ def test_lsh_respects_buckets(vectors):
     # vector 3 is alone in the all-negative bucket: no candidates at all
     assert not any(r.query_id == 3 for r in out)
     assert not any(r.neighbor_id == 3 for r in out)
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    """With n_probe == n_centroids, IVF probes everything: results must
+    equal exact brute force — the recall ceiling sanity check."""
+    from movie_etl_spark.operators.similarity import ivf_top_k
+
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bf = {(r.query_id, r.rank): r.neighbor_id
+          for r in brute_force_top_k(vecs, vecs, k=2).collect()}
+    ivf = {(r.query_id, r.rank): r.neighbor_id
+           for r in ivf_top_k(vecs, vecs, k=2, n_centroids=8, n_probe=8).collect()}
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_is_subset_of_brute_force_candidates(spark):
+    from movie_etl_spark.operators.similarity import ivf_top_k
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_top_k(vecs, vecs, k=3, n_centroids=8, n_probe=2).collect()
+    # every query gets results and ranks are dense from 1
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    assert len(by_q) > 0
