@@ -35,3 +35,15 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL-safe on zero-norm vectors."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def cosine_from_norms(
+    a: Column | str, b: Column | str, norm_a: Column | str, norm_b: Column | str
+) -> Column:
+    """Cosine given precomputed L2 norms — identical doubles to
+    :func:`cosine_similarity` (same fold, same multiply order), but the
+    per-pair work drops from three array folds to one. Use when the
+    same vectors enter many pairs (every ANN join): compute each norm
+    once per ROW, not once per PAIR."""
+    denom = _c(norm_a) * _c(norm_b)
+    return F.when(denom > 0, dot_product(a, b) / denom)

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from movie_etl_spark.functions.vectors import cosine_similarity
+from movie_etl_spark.functions.vectors import (
+    cosine_from_norms,
+    cosine_similarity,
+    l2_norm,
+)
+from movie_etl_spark.session import ensure_parallelism
 
 
 def _ranked_top_k(scored: DataFrame, k: int) -> DataFrame:
@@ -45,14 +50,25 @@ def brute_force_top_k(
     broadcast_corpus: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` for each row of ``queries``."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = ensure_parallelism(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("_cn"),
+    )
     if broadcast_corpus:
         c = F.broadcast(c)
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity("q_vec", "c_vec"), 6))
+        .withColumn(
+            "cosine",
+            F.round(cosine_from_norms("q_vec", "c_vec", "_qn", "_cn"), 6),
+        )
     )
     return _ranked_top_k(scored, k)
 
@@ -79,20 +95,25 @@ def lsh_top_k(
 
     At scale this is a hash-partitioned equi-join on the bucket key —
     no cross product, shuffle-partitionable, skew handled by AQE."""
-    q = queries.select(
+    q = ensure_parallelism(queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("_qn"),
         sign_bucket(vec_col, n_planes).alias("bucket"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("_cn"),
         sign_bucket(vec_col, n_planes).alias("bucket"),
     )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity("q_vec", "c_vec"), 6))
+        .withColumn(
+            "cosine",
+            F.round(cosine_from_norms("q_vec", "c_vec", "_qn", "_cn"), 6),
+        )
     )
     return _ranked_top_k(scored, k)
 
@@ -106,7 +127,9 @@ def _centroids(corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str) -
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
         .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(vec_col).alias("_centn"),
         )
     )
 
@@ -117,8 +140,8 @@ def ivf_top_k(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int = 64,
+    n_probe: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its
     nearest centroid, probe only the query's ``n_probe`` closest
@@ -134,30 +157,36 @@ def ivf_top_k(
     """
     cents = F.broadcast(_centroids(corpus, n_centroids, id_col, vec_col))
 
-    def assign(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        scored = df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)
+    def assign(df: DataFrame, out_id: str, out_vec: str, out_norm: str) -> DataFrame:
+        scored = ensure_parallelism(df).select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            l2_norm(vec_col).alias(out_norm),
         ).crossJoin(cents).withColumn(
-            "c_cos", F.round(cosine_similarity(out_vec, "c_vec"), 6)
+            "c_cos",
+            F.round(cosine_from_norms(out_vec, "c_vec", out_norm, "_centn"), 6),
         )
         w = Window.partitionBy(out_id).orderBy(
             F.col("c_cos").desc(), F.col("centroid_id").asc()
         )
-        return scored.withColumn("_rn", F.row_number().over(w)).drop("c_vec")
+        return scored.withColumn("_rn", F.row_number().over(w)).drop("c_vec", "_centn")
 
     corpus_assigned = (
-        assign(corpus, "neighbor_id", "c_vec_n")
+        assign(corpus, "neighbor_id", "c_vec_n", "_cn")
         .filter(F.col("_rn") == 1)
-        .select("neighbor_id", "c_vec_n", "centroid_id")
+        .select("neighbor_id", "c_vec_n", "_cn", "centroid_id")
     )
     query_probes = (
-        assign(queries, "query_id", "q_vec")
+        assign(queries, "query_id", "q_vec", "_qn")
         .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "q_vec", "centroid_id")
+        .select("query_id", "q_vec", "_qn", "centroid_id")
     )
     scored = (
         query_probes.join(corpus_assigned, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity("q_vec", "c_vec_n"), 6))
+        .withColumn(
+            "cosine",
+            F.round(cosine_from_norms("q_vec", "c_vec_n", "_qn", "_cn"), 6),
+        )
     )
     return _ranked_top_k(scored, k)

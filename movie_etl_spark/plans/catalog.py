@@ -1384,7 +1384,7 @@ def q_g1_clean_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cents AS (
       SELECT vec_id AS centroid_id, embedding AS c_vec
-      FROM embeddings ORDER BY vec_id ASC LIMIT 16
+      FROM embeddings ORDER BY vec_id ASC LIMIT 64
     ),
     corpus_scored AS (
       SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec_n, c.centroid_id,
@@ -1408,7 +1408,7 @@ def q_g1_clean_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                        c.c_vec::DOUBLE[]), 6) DESC,
                           c.centroid_id ASC) AS rn
         FROM embeddings e CROSS JOIN cents c
-      ) WHERE rn <= 4
+      ) WHERE rn <= 8
     )
     SELECT query_id, neighbor_id,
            round(list_cosine_similarity(q_vec::DOUBLE[], c_vec_n::DOUBLE[]), 6)
@@ -1423,7 +1423,7 @@ def q_g1_clean_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rank <= 3
     """,
     doc="IVF ANN: nearest-centroid assignment (bounded broadcast cross "
-    "join) + n_probe=4 of 16 centroid lists + exact top-k within "
+    "join) + n_probe=8 of 64 centroid lists + exact top-k within "
     "candidates — the inverted-file index shape at scale "
     "(operators.similarity.ivf_top_k)",
 )
@@ -1431,4 +1431,74 @@ def q_v3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_etl_spark.operators.similarity import ivf_top_k
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_top_k(e, e, k=3, n_centroids=16, n_probe=4)
+    return ivf_top_k(e, e, k=3, n_centroids=64, n_probe=8)
+
+
+@register(
+    "a4_pandas_group_median",
+    """
+    SELECT o_custkey AS custkey,
+           median(o_totalprice) AS median_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    doc="custom grouped aggregation via applyInPandas (Arrow-batched "
+    "UDAF path): per-customer median — a statistic Spark's built-in "
+    "aggs lack exactly (percentile_approx is approximate). Oracle is "
+    "DuckDB's exact median; both engines interpolate even-count middles "
+    "as (a+b)/2 in float64, so no rounding is applied (round() would "
+    "diverge: Python rounds half-to-even, DuckDB half-away-from-zero)",
+)
+def q_a4_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def med(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "custkey": [pdf["o_custkey"].iloc[0]],
+                "median_price": [float(pdf["o_totalprice"].median())],
+                "n_orders": [len(pdf)],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        med, schema="custkey long, median_price double, n_orders long"
+    )
+
+
+@register(
+    "st3_stateful_counts",
+    None,  # custom stateful streaming: genuinely non-SQL-expressible,
+    # driver records the rows-only check (tests assert batch equality)
+    doc="custom stateful streaming via applyInPandasWithState: per-user "
+    "running (count, value-sum) in explicit state, executed as a REAL "
+    "availableNow stream into a memory sink and returned as the final "
+    "state table (streaming.events.stateful_user_counts)",
+)
+def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from movie_etl_spark.streaming.events import stateful_user_counts
+
+    events = _t(spark, sf_dir, "events")
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"movie-etl-st3-{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    events.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(
+        spark.read.parquet(staged).schema
+    ).parquet(staged)
+    q = (
+        stateful_user_counts(stream)
+        .writeStream.format("memory")
+        .queryName("st3_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("st3_state")

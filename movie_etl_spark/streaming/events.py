@@ -122,3 +122,67 @@ def session_windows(
             "total_value",
         )
     )
+
+
+def stateful_user_counts(
+    stream: DataFrame,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running event counter + value sum kept in explicit state,
+    emitted on every update (the shape for custom session logic that
+    built-in windows cannot express — e.g. conversion funnels,
+    per-entity accumulators).
+
+    State per user is one (count, total) pair — O(distinct users).
+    Pass ``timeout_ms`` on a continuous deployment so idle users' state
+    expires instead of accumulating forever; leave None for bounded
+    backfills (a pending processing-time timeout keeps an availableNow
+    query alive past its data, observed empirically). On a batch
+    DataFrame callers should use the plain groupBy equivalent; tests
+    assert the two agree.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )

@@ -84,3 +84,41 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
         for r in spark.table("sess_test").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+@needs_testdata
+def test_stateful_user_counts_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from movie_etl_spark.streaming.events import stateful_user_counts
+
+    events = load_table(spark, TESTDATA_SF0001, "events")
+    staged = str(tmp_path / "events_state")
+    events.write.parquet(staged)
+
+    batch = {
+        (r.user_id): (r.n, r.total)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    q = (
+        stateful_user_counts(stream)
+        .writeStream.format("memory").queryName("state_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # update mode may emit a user several times; the final emit carries
+    # the full running state — single source batch means one emit here
+    streamed = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("state_test").collect()
+    }
+    assert set(streamed) == set(batch)
+    for u, (n, total) in batch.items():
+        sn, st = streamed[u]
+        assert sn == n and abs(st - total) < 0.05
