@@ -208,3 +208,33 @@ def test_discover_movies_from_mock_pages(spark):
         and "1900-01-01" <= r["release_date"] <= "2100-01-01"
     }
     assert out == want and len(want) > 0
+
+
+@needs_reference
+def test_read_json_docs_source(spark, tmp_path):
+    """S2 — the nested-document source itself: the reference fixture
+    written as JSON-lines, read back through read_json_docs with the
+    explicit schema (never inferSchema: inference would type
+    watch_providers as a struct, not the MapType the cleaners need)."""
+    import json as jsonlib
+
+    from movie_etl_spark.sources.readers import read_json_docs
+
+    doc = _movie_doc()
+    # the movie fixture's own provider map is empty; graft in the
+    # watch_providers_123 payload so the map round-trip is non-vacuous
+    doc["watch_providers"] = _load(
+        os.path.join(MOCKS, "watch_providers_123.json")
+    )["results"]
+    path = tmp_path / "docs.jsonl"
+    path.write_text(jsonlib.dumps(doc) + "\n")
+    raw = read_json_docs(spark, str(path), RAW_MOVIE_DETAILS)
+    out = clean_movie_details(raw).collect()[0]
+    assert out["movie_id"] == 912649
+    assert isinstance(raw.schema["watch_providers"].dataType.typeName(), str)
+    assert raw.schema["watch_providers"].dataType.typeName() == "map"
+    # the map survives the file round-trip into the provider inversion
+    from movie_etl_spark.operators.reshape import invert_watch_providers
+
+    inverted = invert_watch_providers(clean_movie_details(raw))
+    assert inverted.count() > 0
