@@ -43,11 +43,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from movie_etl_spark.operators.dedup import release_indexes
+
     times: dict[str, float] = {}
     for name, qd in QUERIES.items():
         t0 = time.perf_counter()
         qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # dedup queries persist their inverted index for the multi-join
+        # plan; release it so 47 queries in one session don't accumulate
+        # executor storage (cache lifetime is caller-owned by contract)
+        release_indexes()
 
     print(
         json.dumps(

@@ -25,6 +25,26 @@ from pyspark.sql import functions as F
 from movie_etl_spark.functions.text import char_shingles, doc_fingerprint, tokens
 from movie_etl_spark.session import ensure_parallelism
 
+#: inverted indexes persisted by the operators below. The returned
+#: DataFrames are lazy, so the operator cannot unpersist its own index
+#: without defeating the cache — callers that run many queries in one
+#: session (bench.py, tools/selfcheck.py, the driver shim) release them
+#: via :func:`release_indexes` after consuming the results.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_indexes(blocking: bool = False) -> None:
+    """Unpersist every index cached by the dedup operators so repeated
+    catalog invocations don't accumulate executor storage memory."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist(blocking=blocking)
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact (normalized) dedup: keep the lowest id per fingerprint.
@@ -80,19 +100,54 @@ def near_dup_pairs_minhash(
     shingle_k: int = 8,
     shingle_stride: int = 4,
     jaccard_threshold: float = 0.6,
+    max_band_freq: int | None = 100,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs with exact-jaccard verification.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 decimals (ratio of integer counts — exact in both engines).
 
+    Scale design (the canonical web-scale dedup pipeline):
+
+    1. **Exact-fingerprint collapse first.** Identical (normalized)
+       documents are THE degenerate case for banded LSH: a boilerplate-
+       heavy corpus puts thousands of byte-equal docs into one band
+       bucket and the self-join goes quadratic. So identical docs are
+       grouped by md5 fingerprint up front and emitted as O(n) star
+       pairs (group-min id_a -> every other member, jaccard = 1.0 —
+       they are identical, which preserves dedup connectivity without
+       the C(n,2) all-pairs blow-up), and only ONE representative per
+       fingerprint enters the LSH stage.
+    2. **Band-frequency cap** (``max_band_freq``): the safety net for
+       *near*-identical boilerplate that survives the collapse. Band
+       keys shared by more than the cap are dropped before the
+       self-join (an anti-join against the tiny over-cap key set, which
+       Spark broadcasts). Recall trade-off: a pair whose only shared
+       bands are over-cap is missed; with distinct docs and 100+ docs
+       per bucket those pairs are overwhelmingly sub-threshold noise.
+
     The shingle inverted index is built ONCE and persisted (memory,
     spill-to-disk): it feeds the signatures, the doc sizes, and both
     sides of the verification join — recomputing the explode 4x is the
     naive plan's dominant cost. At cluster scale the same index would
-    be a checkpointed/bucketed table.
+    be a checkpointed/bucketed table. Callers release the cache via
+    :func:`release_indexes`.
     """
-    sh = _shingle_rows(df, text_col, id_col, shingle_k, shingle_stride).persist()
+    fp = df.select(F.col(id_col), doc_fingerprint(text_col).alias("_fp"))
+    groups = fp.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
+    exact_pairs = (
+        fp.join(groups, "_fp")
+        .filter(F.col(id_col) > F.col("_rep"))
+        .select(
+            F.col("_rep").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.round(F.lit(1.0).cast("double"), 6).alias("jaccard"),
+        )
+    )
+    reps = df.join(
+        groups.select(F.col("_rep").alias(id_col)), [id_col], "left_semi"
+    )
+    sh = _persist(_shingle_rows(reps, text_col, id_col, shingle_k, shingle_stride))
     sigs = _signatures_from_shingles(sh, id_col, num_hashes)
     n_bands = num_hashes // band_size
     bands = sigs.select(
@@ -117,6 +172,15 @@ def near_dup_pairs_minhash(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
+
+    if max_band_freq is not None:
+        over_cap = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_bf"))
+            .filter(F.col("_bf") > max_band_freq)
+            .select("band_idx", "band_key")
+        )
+        bands = bands.join(over_cap, ["band_idx", "band_key"], "left_anti")
 
     left = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
@@ -154,7 +218,7 @@ def near_dup_pairs_minhash(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return jac
+    return exact_pairs.unionByName(jac)
 
 
 def ngram_jaccard_pairs(
@@ -176,16 +240,23 @@ def ngram_jaccard_pairs(
     shared-count floor drops coincidental single-gram collisions before
     the (expensive) exact-intersection verification — on a dense
     vocabulary one shared gram admits millions of pairs that exact
-    Jaccard would reject anyway. A true near-dup at ``jaccard >= 0.5``
-    shares a third of its grams, far above any sane ``min_shared``;
-    only degenerate docs with < ``min_shared`` total grams can be
-    missed (documented recall bound).
+    Jaccard would reject anyway.
+
+    Recall bound (the two knobs interact): the floor counts shared
+    *rare* grams (df <= ``max_ngram_freq``), so a pair is missed iff it
+    shares fewer than ``min_shared`` rare grams — either because the
+    docs are degenerate (< ``min_shared`` total grams) or because their
+    overlap consists almost entirely of corpus-common grams. A true
+    near-dup at ``jaccard >= 0.5`` shares a third of its grams; unless
+    virtually all of those are hub grams (boilerplate — which exact /
+    minhash dedup catches upstream), it clears any sane ``min_shared``.
     """
     toks = ensure_parallelism(df).select(F.col(id_col), tokens(text_col).alias("toks"))
     # the gram inverted index feeds document frequencies, the candidate
     # join (twice) and the intersection join (twice): persist it once
-    # (memory, spill-to-disk) instead of re-running the explode 5x
-    grams = (
+    # (memory, spill-to-disk) instead of re-running the explode 5x;
+    # callers release via release_indexes()
+    grams = _persist(
         toks.select(
             id_col,
             F.explode(
@@ -198,7 +269,6 @@ def ngram_jaccard_pairs(
             ).alias("gram"),
         )
         .filter(F.length("gram") > 0)
-        .persist()
     )
     df_counts = grams.groupBy("gram").agg(F.count("*").alias("df_count"))
     rare = grams.join(

@@ -163,6 +163,17 @@ def stateful_user_counts(
     )
 
     def update(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            # fired timeout: the user has been idle for timeout_ms —
+            # emit a final snapshot and DROP the state instead of
+            # re-arming the timer (re-arming would keep idle users'
+            # state alive forever, defeating the expiry's purpose)
+            n, total = state.get if state.exists else (0, 0.0)
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)

@@ -128,6 +128,30 @@ def test_salted_broadcast_join_matches_plain(spark):
     assert got == want
 
 
+def test_pandas_udaf_median_matches_builtin(spark):
+    """The applyInPandas UDAF path (§2.11 UDAF checklist row), demonstrated
+    at bounded scale and checked against the built-in exact F.median that
+    the registered catalog query (a4_group_median) uses. The built-in is
+    the production plan — JVM-side, codegen, no per-group pandas frames;
+    the UDAF is the template for statistics Spark genuinely lacks."""
+    import pandas as pd
+
+    df = spark.range(0, 5_000).selectExpr(
+        "CAST(id % 37 AS LONG) AS k", "CAST(id * 1.5 AS DOUBLE) AS x"
+    )
+
+    def med(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"k": [pdf["k"].iloc[0]], "median_x": [float(pdf["x"].median())]}
+        )
+
+    udaf = df.groupBy("k").applyInPandas(med, schema="k long, median_x double")
+    builtin = df.groupBy("k").agg(F.median("x").alias("median_x"))
+    got = {(r.k, r.median_x) for r in udaf.collect()}
+    want = {(r.k, r.median_x) for r in builtin.collect()}
+    assert got == want
+
+
 def test_bulk_load_nodes_from_csv(spark, tmp_path):
     from movie_etl_spark.plans.graph import bulk_load_nodes_from_csv
     from movie_etl_spark.sources.sinks import write_csv

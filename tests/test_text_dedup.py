@@ -87,11 +87,46 @@ def test_exact_dedup_min_survivor(docs):
 def test_minhash_near_dups(docs):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in
              near_dup_pairs_minhash(docs, "text", "doc_id").collect()}
-    assert pairs.get((0, 1)) == 1.0  # identical docs
-    # empty docs must NOT pair (the [""]-shingle regression)
-    assert (4, 5) not in pairs
+    assert pairs.get((0, 1)) == 1.0  # identical docs (exact-fp star pair)
+    # empty docs normalize identically -> exact-duplicate pair, matching
+    # exact_dedup's semantics (they never reach the LSH stage, so the
+    # [""]-shingle regression stays impossible)
+    assert pairs.get((4, 5)) == 1.0
     # unrelated content must not pair with the fox docs
     assert not any(3 in p for p in pairs)
+
+
+def test_minhash_boilerplate_corpus_is_linear(spark):
+    """10k identical docs — the degenerate case that used to make one LSH
+    band bucket quadratic. With exact-fingerprint collapse they produce
+    exactly n-1 star pairs (O(n) output) and ONE representative enters
+    the LSH stage."""
+    n = 10_000
+    boiler = spark.range(0, n).selectExpr(
+        "id AS doc_id",
+        "'terms of service apply to all content on this site' AS text",
+    )
+    distinct = spark.createDataFrame(
+        [(n, "a genuinely unique document about spark physical plans")],
+        "doc_id long, text string",
+    )
+    out = near_dup_pairs_minhash(
+        boiler.unionByName(distinct), "text", "doc_id"
+    ).collect()
+    assert len(out) == n - 1  # star pairs only, not C(n,2)
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in out)
+    assert {r.id_b for r in out} == set(range(1, n))
+
+
+def test_minhash_band_cap_drops_overfull_buckets(docs):
+    """max_band_freq=0 forces every band bucket over the cap: the LSH
+    stage must yield nothing, while exact-fingerprint star pairs (which
+    bypass LSH) survive."""
+    pairs = {(r.id_a, r.id_b) for r in
+             near_dup_pairs_minhash(
+                 docs, "text", "doc_id", max_band_freq=0
+             ).collect()}
+    assert pairs == {(0, 1), (4, 5)}  # exact dups only; (0,2) LSH pair gone
 
 
 def test_ngram_jaccard_pairs(docs):

@@ -81,6 +81,9 @@ def main() -> int:
             df = fn(spark, sf_dir)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
+            from movie_etl_spark.operators.dedup import release_indexes
+
+            release_indexes()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             n_fail += 1
