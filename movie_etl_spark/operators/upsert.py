@@ -63,3 +63,52 @@ def rollback_key(df: DataFrame, key: str, values: list) -> DataFrame:
     entity (utils/etl.py:87-120's cascading DELETE, as a filter that
     rewrites the table without those keys)."""
     return df.filter(~F.col(key).isin(values))
+
+
+def rollback_entity(
+    tables: dict[str, DataFrame],
+    values: list,
+    key_cols: dict[str, list[str]],
+) -> dict[str, DataFrame]:
+    """K7 — MULTI-table compensation: the reference's rollback deletes
+    one movie across 11 tables in a single step (utils/etl.py:87-120);
+    this is that cascade over a table dict (e.g. build_movie_graph's
+    output).
+
+    For each table named in ``key_cols``, drop rows where ANY listed
+    column holds a rolled-back value (an edge dies if either endpoint
+    does); tables not named pass through untouched — dimension nodes
+    survive their last referencing fact, exactly like the reference's
+    cascade, which never deletes genres/languages.
+
+    Pure column-level filters: each table rewrite is an independent
+    scan+filter with predicate pushdown, no joins, no shuffle — at
+    100 TB the rollback is embarrassingly parallel per table.
+    """
+    out: dict[str, DataFrame] = {}
+    for name, df in tables.items():
+        cols = key_cols.get(name)
+        if not cols:
+            out[name] = df
+            continue
+        cond = F.col(cols[0]).isin(values)
+        for c in cols[1:]:
+            cond = cond | F.col(c).isin(values)
+        out[name] = df.filter(~cond)
+    return out
+
+
+def rollback_movie(
+    tables: dict[str, DataFrame], movie_ids: list
+) -> dict[str, DataFrame]:
+    """The reference's ``rollback_movie`` cascade (utils/etl.py:87-120)
+    specialized to build_movie_graph's table set: drop the movie nodes
+    and every edge whose HEAD is a rolled-back movie. COMPANY_PART_OF is
+    company->company (head is a company id, a different id space) and is
+    excluded; dimension/person/company nodes survive, as in the
+    reference."""
+    key_cols = {"nodes/Movie": ["movie_id"]}
+    for name in tables:
+        if name.startswith("edges/") and name != "edges/COMPANY_PART_OF":
+            key_cols[name] = ["head_id"]
+    return rollback_entity(tables, movie_ids, key_cols)

@@ -1235,9 +1235,10 @@ def q_w2_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ap1_approx_count_distinct",
     None,  # HLL implementations differ across engines: rows-only check
-    doc="approximate aggregation: approx_count_distinct per segment with "
-    "a sanity band asserted in tests (HLL sketches are engine-specific, "
-    "so the driver records the rows-only check by design)",
+    doc="approximate aggregation: approx_count_distinct per segment (HLL "
+    "sketches are engine-specific, so the driver records the rows-only "
+    "check by design; tests/test_plans.py::test_ap1_approx_within_sanity_band "
+    "asserts the ±5% band against the exact count)",
 )
 def q_ap1_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -1507,7 +1508,13 @@ def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"movie-etl-st3-{os.path.basename(os.path.normpath(sf_dir))}",
     )
-    events.write.mode("overwrite").parquet(staged)
+    # stage ONCE per sf (parquet's own _SUCCESS is the marker): repeat
+    # invocations in the same or later sessions skip the sink I/O, and
+    # the query stays a read-only plan after first touch. The staging
+    # copy exists because the driver's events.parquet is a single file
+    # with nanos timestamps; the stream wants a directory it owns.
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(staged)
     stream = spark.readStream.schema(
         spark.read.parquet(staged).schema
     ).parquet(staged)
@@ -1521,3 +1528,91 @@ def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("st3_state")
+
+
+@register(
+    "st4_streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    doc="streaming deduplication (dropDuplicatesWithinWatermark, bounded "
+    "state): the query injects an at-least-once redelivery (every 10th "
+    "event appears twice in the staged stream) and runs a REAL "
+    "availableNow stream that must emit each event exactly once — the "
+    "oracle is simply the original events table, so any missed or "
+    "surviving duplicate breaks the hash (streaming.events.dedup_events)",
+)
+def q_st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from movie_etl_spark.streaming.events import dedup_events
+
+    events = _t(spark, sf_dir, "events")
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"movie-etl-st4-{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        # simulate an at-least-once source: 10% of events delivered twice
+        redelivered = events.filter(F.col("event_id") % 10 == 0)
+        events.unionByName(redelivered).write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(
+        spark.read.parquet(staged).schema
+    ).parquet(staged)
+    q = (
+        dedup_events(stream)
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("memory")
+        .queryName("st4_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("st4_dedup")
+
+
+@register(
+    "u1_udtf_ngrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(len(tk) - 1, 0)),
+               i -> {{'pos': i,
+                      'gram': array_to_string(list_slice(tk, i + 1, i + 2), ' ')}}
+             )) AS s
+      FROM toks
+    )
+    SELECT doc_id, CAST(s.pos AS INT) AS pos, s.gram AS gram FROM g
+    """,
+    doc="Python UDTF (table-valued function) via LATERAL join: per-doc "
+    "word-bigram expansion — closes the §2.11 UDF/UDAF/UDTF triple. "
+    "This is the CHECKLIST demo of the row-based UDTF API; the "
+    "production path for this exact expansion is the expression-level "
+    "explode(transform(sequence(...))) that dd4 uses (JVM-side, "
+    "codegen). A UDTF earns its cost only when the row-expansion logic "
+    "is genuinely imperative (tokenizers, parsers with state)",
+)
+def q_u1_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string")
+    class WordBigrams:
+        def eval(self, text: str):
+            toks = [t for t in re.split(r"\s+", text or "") if t]
+            for i in range(max(len(toks) - 1, 0)):
+                yield i, " ".join(toks[i : i + 2])
+
+    spark.udtf.register("word_bigrams", WordBigrams)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("u1_documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.pos, g.gram
+        FROM u1_documents d, LATERAL word_bigrams(d.text) g
+        """
+    )

@@ -124,6 +124,42 @@ def session_windows(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming deduplication — the ingestion face of the dedup surface
+    (at-least-once sources redeliver events; the reference's idempotency
+    story X5 solves this with store constraints, the stream solves it at
+    the operator level).
+
+    Batch/streaming dual like :func:`windowed_counts`. In streaming
+    mode the state is the set of seen keys; with ``within_watermark``
+    (the default) Spark's ``dropDuplicatesWithinWatermark`` expires a
+    key's state once the watermark passes its event time — bounded
+    state at 100 TB/day, the only deploy-safe choice for an unbounded
+    key domain like event ids. ``within_watermark=False`` keeps keys
+    forever (exact global dedup, unbounded state — bounded backfills
+    only). Duplicates beyond the watermark horizon pass through; that
+    is the documented trade-off of every watermarked dedup.
+
+    The survivor is the first arrival. Callers that project columns
+    after a batch-mode dedup should only rely on columns identical
+    across duplicates (batch ``dropDuplicates`` keeps an arbitrary
+    row).
+    """
+    key_list = list(keys)
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+        if within_watermark:
+            return src.dropDuplicatesWithinWatermark(key_list)
+        return src.dropDuplicates(key_list)
+    return events.dropDuplicates(key_list)
+
+
 def stateful_user_counts(
     stream: DataFrame,
     timeout_ms: int | None = None,

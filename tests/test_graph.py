@@ -130,3 +130,35 @@ def test_person_gender_decoded(graph):
     genders = {r["person_id"]: r["gender"] for r in graph["nodes/Person"].collect()}
     assert genders[9] == "Male" and genders[5] == "Female"
     assert genders[6] == "Not specified"
+
+
+def test_rollback_movie_cascades_all_tables(graph):
+    """K7 multi-table compensation (utils/etl.py:87-120): removing one
+    movie drops its node and every edge headed by it, leaves the other
+    movie's subgraph intact, and preserves referential integrity."""
+    from movie_etl_spark.operators.upsert import rollback_movie
+
+    rolled = rollback_movie(graph, [1])
+
+    assert {r["movie_id"] for r in rolled["nodes/Movie"].collect()} == {2}
+    # every edge table headed by movies lost movie 1's edges...
+    for name, df in rolled.items():
+        if name.startswith("edges/"):
+            heads = {r["head_id"] for r in df.collect()}
+            assert 1 not in heads, name
+    # ...but movie 2's edges survive
+    assert {r["tail_id"] for r in rolled["edges/ACTED_IN"].collect()} == {9}
+    assert {r["head_id"] for r in rolled["edges/HAS_GENRE"].collect()} == {2}
+    # dimension + person nodes are NOT cascaded (reference semantics)
+    assert rolled["nodes/Person"].count() == graph["nodes/Person"].count()
+    assert rolled["nodes/Genre"].count() == graph["nodes/Genre"].count()
+    # referential integrity after rollback: every edge head still exists
+    movies_left = {r["movie_id"] for r in rolled["nodes/Movie"].collect()}
+    for name in ("edges/HAS_GENRE", "edges/ACTED_IN", "edges/PART_OF",
+                 "edges/AVAILABLE_ON", "edges/CREW"):
+        for r in rolled[name].collect():
+            assert r["head_id"] in movies_left, name
+    # idempotent: rolling back the same id again changes nothing
+    again = rollback_movie(rolled, [1])
+    assert again["nodes/Movie"].count() == 1
+    assert again["edges/ACTED_IN"].count() == rolled["edges/ACTED_IN"].count()

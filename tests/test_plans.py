@@ -60,3 +60,31 @@ def test_f6_has_no_forced_broadcast_hint(spark):
 @needs_testdata
 def test_o1_uses_take_ordered_not_full_sort(spark):
     assert "TakeOrderedAndProject" in _plan(spark, "o1_top_k")
+
+
+@needs_testdata
+def test_ap1_approx_within_sanity_band(spark):
+    """The sanity band ap1's docstring promises: approx_count_distinct
+    (rsd=0.02) lands within ±5% of the exact per-group cardinality.
+    HLL sketches are engine-specific so the driver runs a rows-only
+    check; this is the correctness evidence."""
+    from pyspark.sql import functions as F
+
+    from movie_etl_spark.session import load_table
+
+    o = load_table(spark, TESTDATA_SF0001, "orders")
+    approx = {
+        r.priority: r.approx_customers
+        for r in QUERIES["ap1_approx_count_distinct"].fn(
+            spark, TESTDATA_SF0001
+        ).collect()
+    }
+    exact = {
+        r.priority: r.n
+        for r in o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)

@@ -87,6 +87,50 @@ def test_session_windows_stream_equals_batch(spark, tmp_path):
 
 
 @needs_testdata
+def test_streaming_dedup_across_micro_batches(spark, tmp_path):
+    """Duplicates arriving in a LATER micro-batch must still be dropped:
+    the dedup state has to survive batch boundaries (this is what
+    separates streaming dedup from per-batch dropDuplicates)."""
+    from movie_etl_spark.streaming.events import dedup_events
+
+    events = load_table(spark, TESTDATA_SF0001, "events").limit(200).cache()
+    first = events.filter("event_id % 2 = 0")
+    # second delivery: the other half PLUS redelivered copies of the first
+    second = events.filter("event_id % 2 = 1").unionByName(
+        first.filter("event_id % 4 = 0")
+    )
+    staged = str(tmp_path / "events_dedup")
+    first.coalesce(1).write.parquet(staged)
+    second.coalesce(1).write.mode("append").parquet(staged)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        # watermark wider than the whole ts range: batch 2's rows are
+        # unordered vs batch 1, so a narrow watermark would drop them as
+        # LATE rather than as duplicates — which is not what this tests
+        dedup_events(stream, watermark="365 days")
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r.event_id for r in spark.table("dedup_test").collect()]
+    want = {r.event_id for r in events.collect()}
+    assert len(got) == len(want)  # every duplicate dropped, exactly once
+    assert set(got) == want
+    # batch dual agrees
+    batch = dedup_events(events.unionByName(first))
+    assert batch.count() == len(want)
+
+
+@needs_testdata
 def test_stateful_user_counts_matches_batch(spark, tmp_path):
     import pyspark.sql.functions as F
 
