@@ -147,3 +147,73 @@ def language_id_table(df, text_col: str, id_col: str):
             (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(pick)
     return scores.select(F.col(id_col), pick.alias("lang_id"))
+
+
+#: BPE-ish pre-tokenization pattern (the GPT-2 family shape, kept
+#: lookahead-free and ASCII-classed so Java regex (Spark) and RE2
+#: (DuckDB) match identically): contractions, space-prefixed letter
+#: runs, digit runs, and punctuation runs.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Array of BPE-ish pre-tokens. This is the *pre*-tokenizer (merge
+    ranks need a vocabulary file); its token count is the standard
+    proxy for LLM token budgets when the exact tokenizer is out of
+    reach — counts land within ~10-20% of tiktoken on English text."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0)
+
+
+def winnowed_fingerprints(
+    df, text_col: str, id_col: str, k: int = 7, window: int = 8
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every rolling character
+    k-gram of the normalized text, slide a ``window`` of consecutive
+    gram hashes, keep each window's minimum; the DISTINCT selected
+    hashes are the document's fingerprint set. Guarantees every shared
+    substring of length >= k + window - 1 contributes a shared
+    fingerprint, with expected density 2/(window+1).
+
+    Plan shape: expression-level gram expansion (sequence+transform,
+    pipelined), ONE posexplode, a bounded rows-frame window min, one
+    distinct — all JVM-side, no UDFs; the gram hash is the same
+    md5-prefix integer both engines compute identically.
+    """
+    from movie_etl_spark.session import ensure_parallelism
+
+    norm = normalize_text(text_col)
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    # guard: Spark's sequence(1, 0) counts DOWN — short docs must yield
+    # an empty gram array, not [1, 0]
+    offsets = F.when(
+        n_grams > 0, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    g = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            n_grams.alias("_n"),
+            F.posexplode(
+                F.transform(offsets, lambda i: norm.substr(i, F.lit(k)))
+            ).alias("_pos", "_gram"),
+        )
+        .withColumn(
+            "_h", F.conv(F.substring(F.md5("_gram"), 1, 8), 16, 10).cast("long")
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = (
+        _W.partitionBy(id_col)
+        .orderBy(F.col("_pos").asc())
+        .rowsBetween(_W.currentRow, window - 1)
+    )
+    return (
+        g.withColumn("fp", F.min("_h").over(w))
+        # full windows only (pos is 0-based): the canonical winnowing
+        # window count n_grams - window + 1
+        .filter(F.col("_pos") <= F.col("_n") - window)
+        .select(F.col(id_col), "fp")
+        .dropDuplicates([id_col, "fp"])
+    )

@@ -305,6 +305,97 @@ def ngram_jaccard_pairs(
     return out
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cosine_threshold: float = 0.9,
+    n_bits: int = 16,
+    band_size: int = 4,
+    max_band_freq: int | None = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine) with
+    id_a < id_b — the semantic-dedup face of the surface (exact/minhash/
+    simhash catch lexical dups; this catches paraphrases via their
+    embeddings).
+
+    Scale design — banded sign-LSH, the vector analogue of
+    :func:`near_dup_pairs_minhash`: the first ``n_bits`` sign bits split
+    into ``n_bits/band_size`` bands; vectors sharing ANY full band are
+    candidates (equi-join on (band_idx, band_key), never all-pairs);
+    exact cosine verifies candidates only. At true near-dup thresholds
+    (cosine >= ~0.9) two vectors agree in nearly every sign bit, so the
+    probability of missing all bands is tiny; at looser thresholds
+    recall decays (see lsh_top_k's measured numbers — hashing cannot
+    beat scanning on unstructured corpora). ``max_band_freq`` caps
+    degenerate buckets exactly like the minhash band cap.
+    """
+    from movie_etl_spark.functions.vectors import cosine_from_norms, l2_norm
+
+    n_bands = n_bits // band_size
+    base = _persist(
+        ensure_parallelism(df).select(
+            F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(vec_col).alias("_n")
+        )
+    )
+
+    def band_key(b: int) -> Column:
+        bits = [
+            F.when(
+                F.element_at(F.col("_v"), b * band_size + i + 1) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for i in range(band_size)
+        ]
+        return F.concat(*bits)
+
+    bands = base.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), band_key(b).alias("band_key")
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    if max_band_freq is not None:
+        over_cap = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_bf"))
+            .filter(F.col("_bf") > max_band_freq)
+            .select("band_idx", "band_key")
+        )
+        bands = bands.join(over_cap, ["band_idx", "band_key"], "left_anti")
+    cand = (
+        bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        .join(
+            bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine", F.round(cosine_from_norms("_va", "_vb", "_na", "_nb"), 6)
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash signature per document over whitespace tokens.
 

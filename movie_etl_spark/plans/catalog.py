@@ -1616,3 +1616,124 @@ def q_u1_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u1_documents d, LATERAL word_bigrams(d.text) g
         """
     )
+
+
+def _embedding_band_sql(n_bands: int = 4, band_size: int = 4) -> str:
+    selects = []
+    for b in range(n_bands):
+        bits = " || ".join(
+            f"(CASE WHEN embedding[{b * band_size + i + 1}] >= 0 "
+            "THEN '1' ELSE '0' END)"
+            for i in range(band_size)
+        )
+        selects.append(
+            f"SELECT vec_id, {b} AS band_idx, {bits} AS band_key FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dd6_embedding_near_dups",
+    f"""
+    WITH bands AS ({_embedding_band_sql()}),
+    okb AS (
+      SELECT b.* FROM bands b
+      JOIN (SELECT band_idx, band_key FROM bands
+            GROUP BY band_idx, band_key HAVING count(*) <= 1000) f
+        ON f.band_idx = b.band_idx AND f.band_key = b.band_key
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+    doc="embedding-cosine near-duplicate pairs (semantic dedup): banded "
+    "sign-LSH candidates (equi-join, never all-pairs, band-frequency "
+    "cap) + exact-cosine verification on candidates only "
+    "(operators.dedup.embedding_near_dup_pairs). Threshold 0.4 keeps "
+    "the query non-vacuous on the driver's near-uniform synthetic "
+    "corpus (max off-diagonal cosine ~0.51); production near-dup "
+    "thresholds >= 0.9 are where banding recall is high",
+)
+def q_dd6_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, "embedding", "vec_id", cosine_threshold=0.4)
+
+
+@register(
+    "t3_winnowing_fingerprints",
+    f"""
+    WITH norm AS (SELECT doc_id, {_SQL_NORM} AS s FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(length(s) - 6, 0) + 1),
+               i -> {{'pos': i, 'gram': substr(s, i, 7)}})) AS t
+      FROM norm
+    ),
+    g AS (
+      SELECT doc_id, t.pos AS pos,
+             CAST(concat('0x', substr(md5(t.gram), 1, 8)) AS BIGINT) AS h
+      FROM g0
+    ),
+    sized AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    wmin AS (
+      SELECT g.doc_id, g.pos, s.n,
+             min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      FROM g JOIN sized s ON s.doc_id = g.doc_id
+    )
+    SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n - 7
+    """,
+    doc="winnowing document fingerprints (MOSS, SIGMOD'03): rolling "
+    "7-gram hashes, window-8 minima, distinct selected hashes — "
+    "guarantees shared substrings >= 14 chars share a fingerprint at "
+    "~2/9 density. All JVM expressions: sequence/transform gram "
+    "expansion, one posexplode, bounded rows-frame min "
+    "(functions.text.winnowed_fingerprints)",
+)
+def q_t3_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.text import winnowed_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowed_fingerprints(d, "text", "doc_id", k=7, window=8)
+
+
+@register(
+    "t4_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'
+           )) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="LLM token budgeting: BPE-ish pre-tokenizer count (GPT-2-family "
+    "regex, lookahead-free so Java and RE2 agree) next to the whitespace "
+    "count — both JVM-side regexp_extract_all, no Python "
+    "(functions.text.bpe_ish_tokens)",
+)
+def q_t4_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.text import bpe_ish_tokens
+    from movie_etl_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.size(bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )

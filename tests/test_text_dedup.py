@@ -146,3 +146,54 @@ def test_simhash_properties(docs):
     assert all(0 <= v < 2**32 for v in out.values())
     # empty docs produce no tokens -> no signature rows
     assert 4 not in out and 5 not in out
+
+
+def test_embedding_near_dup_pairs(spark):
+    from movie_etl_spark.operators.dedup import embedding_near_dup_pairs
+
+    base = [1.0, -0.5, 0.25, 2.0, -1.0, 0.5, -0.25, 1.5,
+            1.0, 1.0, -1.0, 0.5, 0.25, -2.0, 1.0, 0.5]
+    near = [v * 1.01 + (0.001 if i % 3 == 0 else -0.001)
+            for i, v in enumerate(base)]
+    anti = [-v for v in base]  # cosine -1, also in a disjoint sign bucket
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, anti)], "vec_id long, embedding array<double>"
+    )
+    pairs = {(r.id_a, r.id_b): r.cosine for r in
+             embedding_near_dup_pairs(df, "embedding", "vec_id").collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] > 0.999
+
+
+def test_winnowed_fingerprints_properties(spark):
+    from movie_etl_spark.functions.text import winnowed_fingerprints
+
+    shared = "a very long shared passage that both documents contain verbatim"
+    rows = [
+        (0, f"prefix one {shared} suffix alpha"),
+        (1, f"other beginning {shared} different tail entirely"),
+        (2, "totally unrelated content with no reused passages whatsoever"),
+        (3, "tiny"),  # shorter than k+window-1: no fingerprints
+        (4, f"prefix one {shared} suffix alpha"),  # identical to 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnowed_fingerprints(df, "text", "doc_id").collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    # identical docs -> identical fingerprint sets
+    assert fps[0] == fps[4]
+    # winnowing guarantee: docs sharing a >= k+window-1 substring share
+    # at least one selected fingerprint
+    assert fps[0] & fps[1]
+    # unrelated docs share (almost surely) nothing
+    assert not (fps[0] & fps[2])
+    # sub-threshold doc selects no fingerprints
+    assert 3 not in fps
+
+
+def test_bpe_ish_tokens(spark):
+    from movie_etl_spark.functions.text import bpe_ish_tokens
+
+    df = spark.createDataFrame([(1, "The cat's hat, isn't 42!")], "i long, text string")
+    toks = df.select(bpe_ish_tokens("text").alias("t")).collect()[0].t
+    assert toks == ["The", " cat", "'s", " hat", ",", " isn", "'t", " 42", "!"]
