@@ -175,45 +175,50 @@ def winnowed_fingerprints(
     substring of length >= k + window - 1 contributes a shared
     fingerprint, with expected density 2/(window+1).
 
-    Plan shape: expression-level gram expansion (sequence+transform,
-    pipelined), ONE posexplode, a bounded rows-frame window min, one
-    distinct — all JVM-side, no UDFs; the gram hash is the same
-    md5-prefix integer both engines compute identically.
+    Plan shape: ZERO shuffles. The rolling min is computed per ROW with
+    array expressions (transform over window starts -> least() over
+    ``window`` element_at lookups into a pre-materialized hash array),
+    then array_distinct collapses repeats before a single pipelined
+    explode. The naive plan — posexplode every gram, then a
+    partitionBy(doc)/orderBy(pos) window min — shuffles and sorts one
+    row per CHARACTER of the corpus (at 100 TB that is the whole corpus
+    through the wire, twice); here the same O(n_grams * window) work
+    stays inside the row, no exchange anywhere. The hash array sits in
+    its own projection and is referenced ``window`` times, which keeps
+    CollapseProject from inlining (and thus re-evaluating) the md5
+    chain per window start. The gram hash is the same md5-prefix
+    integer both engines compute identically.
     """
     from movie_etl_spark.session import ensure_parallelism
 
     norm = normalize_text(text_col)
     n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
     # guard: Spark's sequence(1, 0) counts DOWN — short docs must yield
-    # an empty gram array, not [1, 0]
+    # empty arrays, not [1, 0]
     offsets = F.when(
         n_grams > 0, F.sequence(F.lit(1), n_grams)
     ).otherwise(F.array().cast("array<int>"))
-    g = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col),
-            n_grams.alias("_n"),
-            F.posexplode(
-                F.transform(offsets, lambda i: norm.substr(i, F.lit(k)))
-            ).alias("_pos", "_gram"),
+    hashes = F.transform(
+        offsets,
+        lambda i: F.conv(
+            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    # full windows only: starts 1 .. n_grams - window + 1 (canonical
+    # winnowing window count)
+    n_windows = n_grams - F.lit(window - 1)
+    starts = F.when(
+        n_windows > 0, F.sequence(F.lit(1), n_windows)
+    ).otherwise(F.array().cast("array<int>"))
+    staged = ensure_parallelism(df).select(
+        F.col(id_col), hashes.alias("_hs"), starts.alias("_starts")
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.col("_starts"),
+            lambda s: F.least(
+                *[F.element_at(F.col("_hs"), s + j) for j in range(window)]
+            ),
         )
-        .withColumn(
-            "_h", F.conv(F.substring(F.md5("_gram"), 1, 8), 16, 10).cast("long")
-        )
     )
-    from pyspark.sql.window import Window as _W
-
-    w = (
-        _W.partitionBy(id_col)
-        .orderBy(F.col("_pos").asc())
-        .rowsBetween(_W.currentRow, window - 1)
-    )
-    return (
-        g.withColumn("fp", F.min("_h").over(w))
-        # full windows only (pos is 0-based): the canonical winnowing
-        # window count n_grams - window + 1
-        .filter(F.col("_pos") <= F.col("_n") - window)
-        .select(F.col(id_col), "fp")
-        .dropDuplicates([id_col, "fp"])
-    )
+    return staged.select(F.col(id_col), F.explode(fps).alias("fp"))

@@ -310,8 +310,8 @@ def embedding_near_dup_pairs(
     vec_col: str,
     id_col: str,
     cosine_threshold: float = 0.9,
-    n_bits: int = 16,
-    band_size: int = 4,
+    n_bits: int = 24,
+    band_size: int = 6,
     max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a, id_b, cosine) with
@@ -329,6 +329,13 @@ def embedding_near_dup_pairs(
     recall decays (see lsh_top_k's measured numbers — hashing cannot
     beat scanning on unstructured corpora). ``max_band_freq`` caps
     degenerate buckets exactly like the minhash band cap.
+
+    Band sizing: candidate volume scales ~n²/2^band_size per band, so
+    wider bands cut compare volume geometrically (measured on the
+    driver corpus: 4-bit bands -> 28.5k candidates, 6-bit -> 7.6k) at
+    the price of recall for low-similarity pairs; at cosine >= 0.9 the
+    per-bit agreement probability (1 - theta/pi ~ 0.86) keeps 6-bit
+    band recall high.
     """
     from movie_etl_spark.functions.vectors import cosine_from_norms, l2_norm
 

@@ -1618,7 +1618,42 @@ def q_u1_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_band_sql(n_bands: int = 4, band_size: int = 4) -> str:
+@register(
+    "x1_throttled_fetch",
+    """
+    SELECT o_orderkey AS request_id,
+           '{"id": ' || o_orderkey || ', "title": "T' || o_orderkey || '"}'
+             AS payload,
+           'ok' AS status,
+           1 AS attempts
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    doc="X4 throttled live-API connector through the driver: the request "
+    "list is a discover scan, the fetch fan-out is mapInPandas on "
+    "executors with per-partition rate limiting and per-request "
+    "retry/backoff (sources.api.fetch_with_throttle — the reference's "
+    "rate-limited crawl, tasks/etl_task.py:30-144, re-expressed). The "
+    "injected fetch is a deterministic offline fake (no network here; "
+    "pacing + retry accounting are timing-tested in "
+    "tests/test_api_connector.py) and the rate limit is disabled for "
+    "the oracle run so the bench measures the plumbing, not sleep()",
+)
+def q_x1_throttled_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.sources.api import fetch_with_throttle
+
+    ids = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(F.col("o_orderkey").alias("request_id"))
+    )
+
+    def fake_fetch(rid: int) -> str:
+        return f'{{"id": {rid}, "title": "T{rid}"}}'
+
+    return fetch_with_throttle(ids, fake_fetch, rate_per_sec=0)
+
+
+def _embedding_band_sql(n_bands: int = 4, band_size: int = 6) -> str:
     selects = []
     for b in range(n_bands):
         bits = " || ".join(

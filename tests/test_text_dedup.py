@@ -152,7 +152,8 @@ def test_embedding_near_dup_pairs(spark):
     from movie_etl_spark.operators.dedup import embedding_near_dup_pairs
 
     base = [1.0, -0.5, 0.25, 2.0, -1.0, 0.5, -0.25, 1.5,
-            1.0, 1.0, -1.0, 0.5, 0.25, -2.0, 1.0, 0.5]
+            1.0, 1.0, -1.0, 0.5, 0.25, -2.0, 1.0, 0.5,
+            -0.75, 1.25, 0.5, -0.5, 2.0, -1.5, 0.75, 1.0]
     near = [v * 1.01 + (0.001 if i % 3 == 0 else -0.001)
             for i, v in enumerate(base)]
     anti = [-v for v in base]  # cosine -1, also in a disjoint sign bucket
