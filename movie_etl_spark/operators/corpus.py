@@ -1,0 +1,192 @@
+"""Training-corpus assembly operators (LLM-data-pipeline surface).
+
+Engine extensions (no reference equivalent): the standard steps between
+"cleaned documents" and "training shards" — quality filtering,
+deterministic splits, sequence packing, length bucketing. All pure
+DataFrame expressions; every knob is hash-deterministic so runs are
+reproducible and every operator is oracle-checkable cross-engine.
+
+Scale notes: each operator is a single projection/filter or one window
+over a sort the downstream shard-writer needs anyway; nothing collects,
+nothing cross-joins, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from movie_etl_spark.functions.text import (
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.05,
+) -> DataFrame:
+    """C4-style heuristic quality gate: length band, punctuation cap,
+    stopword floor (a crude fluency proxy). Returns survivors with
+    their metrics so downstream stages can re-threshold without
+    recomputing. One pipelined scan: every predicate is a JVM
+    expression over the row, no shuffle."""
+    n = token_count(text_col)
+    p = F.round(punct_ratio(text_col), 6)
+    s = F.round(stopword_ratio(text_col), 6)
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            p.alias("punct_ratio"),
+            s.alias("stopword_ratio"),
+        )
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+            & (F.col("stopword_ratio") >= min_stopword_ratio)
+        )
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash (md5-prefix
+    mod ``n_buckets``): stable across runs, engines, and corpus growth —
+    a document keeps its split forever, which is what prevents
+    train/test contamination when the corpus is re-crawled. No shuffle:
+    the split is a projection."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_buckets, F.lit("train"))
+        .when(bucket < train_buckets + val_buckets, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def _two_phase_prefix(
+    df: DataFrame, order_cols: list[str], sum_col: str | None = None
+) -> tuple[DataFrame, int, int]:
+    """Scalable global ordering primitive: global row_number (column
+    ``_rn``) and, with ``sum_col``, a global inclusive running sum
+    (``_cum``) — WITHOUT the single-task trap of an unpartitioned
+    window (``Window.orderBy`` with no partitionBy funnels the whole
+    corpus through ONE task; fine at 60k rows, fatal at 100 TB).
+
+    The classic parallel prefix-sum instead: range-repartition on the
+    order keys, compute partition-LOCAL row_number/cumsum, collect one
+    (count, sum) row PER PARTITION to the driver (metadata-sized — this
+    is the only collect, and it is O(partitions), not O(rows)), fold
+    into per-partition offsets, add them back via a literal map lookup.
+    Output is independent of where range boundaries land because the
+    order key (caller must include a tiebreaker) is a total order.
+    Returns (df, total_rows, total_sum).
+    """
+    from movie_etl_spark.session import cache_tracked
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n_parts, *[F.col(c).asc() for c in order_cols])
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    local = parts.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_lrn", F.row_number().over(w)
+    )
+    aggs = [F.count("*").alias("_n")]
+    if sum_col is not None:
+        local = local.withColumn(
+            "_lcum",
+            F.sum(sum_col).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        aggs.append(F.sum(sum_col).alias("_s"))
+    # the cache serves the stats pass AND the output pass (one compute)
+    local = cache_tracked(local)
+    stats = {r["_pid"]: r for r in local.groupBy("_pid").agg(*aggs).collect()}
+    rn_off, cum_off, total_rows, total_sum = {}, {}, 0, 0
+    for pid in sorted(stats):
+        rn_off[pid], cum_off[pid] = total_rows, total_sum
+        total_rows += stats[pid]["_n"]
+        total_sum += stats[pid]["_s"] if sum_col is not None else 0
+    rn_map = F.create_map(*[F.lit(x) for kv in rn_off.items() for x in kv])
+    out = local.withColumn("_rn", F.col("_lrn") + rn_map[F.col("_pid")])
+    if sum_col is not None:
+        cum_map = F.create_map(*[F.lit(x) for kv in cum_off.items() for x in kv])
+        out = out.withColumn("_cum", F.col("_lcum") + cum_map[F.col("_pid")])
+    return out.drop("_pid", "_lrn", "_lcum"), total_rows, total_sum
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget_tokens: int = 2048,
+) -> DataFrame:
+    """Greedy sequence packing: documents in id order fill fixed
+    token-budget packs (pack_id = exclusive running token count div
+    budget). A document straddling a boundary goes to the pack its
+    FIRST token lands in, so packs can overflow by at most one document
+    — the standard "pack then truncate/pad at tokenize time" contract.
+
+    The running count comes from the two-phase parallel prefix sum
+    (:func:`_two_phase_prefix`), not an unpartitioned window — the
+    whole corpus never funnels through one task.
+    """
+    base = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    pref, _, _ = _two_phase_prefix(base, [id_col], sum_col="n_tokens")
+    return pref.select(
+        id_col,
+        "n_tokens",
+        ((F.col("_cum") - F.col("n_tokens")) / budget_tokens)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bucket: int = 10,
+) -> DataFrame:
+    """Length-curriculum bucketing: ntile-equivalent over token count
+    (ties broken by id for determinism). Batching same-length documents
+    together is the standard padding-waste reduction; the bucket id
+    doubles as a curriculum stage.
+
+    Built on the two-phase global row_number plus the explicit ntile
+    arithmetic (first ``total % k`` buckets take the extra row), so the
+    result is bit-identical to SQL NTILE without an unpartitioned
+    window.
+    """
+    base = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    ranked, total, _ = _two_phase_prefix(base, ["n_tokens", id_col])
+    big = total % n_bucket
+    size_small = max(total // n_bucket, 1)
+    size_big = total // n_bucket + 1
+    bucket = F.when(
+        F.col("_rn") <= big * size_big,
+        F.floor((F.col("_rn") - 1) / size_big) + 1,
+    ).otherwise(
+        big + F.floor((F.col("_rn") - big * size_big - 1) / size_small) + 1
+    )
+    return ranked.select(
+        id_col, "n_tokens", bucket.cast("int").alias("length_bucket")
+    )

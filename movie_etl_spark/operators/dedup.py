@@ -23,27 +23,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from movie_etl_spark.functions.text import char_shingles, doc_fingerprint, tokens
-from movie_etl_spark.session import ensure_parallelism
+from movie_etl_spark.session import cache_tracked as _persist
+from movie_etl_spark.session import ensure_parallelism, release_caches
 
-#: inverted indexes persisted by the operators below. The returned
-#: DataFrames are lazy, so the operator cannot unpersist its own index
-#: without defeating the cache — callers that run many queries in one
-#: session (bench.py, tools/selfcheck.py, the driver shim) release them
-#: via :func:`release_indexes` after consuming the results.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
-
-
-def release_indexes(blocking: bool = False) -> None:
-    """Unpersist every index cached by the dedup operators so repeated
-    catalog invocations don't accumulate executor storage memory."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist(blocking=blocking)
+#: back-compat alias: the dedup operators persist their inverted
+#: indexes through the session-level registry (session.cache_tracked);
+#: callers release them with this after consuming results.
+release_indexes = release_caches
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

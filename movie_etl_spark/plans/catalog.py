@@ -1618,6 +1618,121 @@ def q_u1_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_DOC_METRICS = f"""
+    doc_metrics AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+             round(CASE WHEN length(text) > 0
+               THEN (length(text) -
+                     length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                    * 1.0 / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio,
+             round(CASE WHEN len({_SQL_TOKS}) > 0
+               THEN len(list_filter({_SQL_TOKS},
+                      t -> list_contains(['the','a','an','of','to','and','in','is','it','that'],
+                                         lower(t))))
+                    * 1.0 / len({_SQL_TOKS})
+               ELSE 0.0 END, 6) AS stopword_ratio
+      FROM documents
+    )
+"""
+
+
+@register(
+    "cp1_quality_filter",
+    f"""
+    WITH {_SQL_DOC_METRICS}
+    SELECT * FROM doc_metrics
+    WHERE n_tokens BETWEEN 20 AND 100000
+      AND punct_ratio <= 0.2
+      AND stopword_ratio >= 0.05
+    """,
+    doc="C4-style corpus quality gate: token-length band, punctuation "
+    "cap, stopword floor in one pipelined scan — survivors keep their "
+    "metrics for downstream re-thresholding "
+    "(operators.corpus.quality_filter)",
+)
+def q_cp1_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.corpus import quality_filter
+    from movie_etl_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return quality_filter(d, "text", "doc_id")
+
+
+@register(
+    "cp2_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 8 THEN 'train'
+                WHEN b < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 10 AS b
+      FROM documents
+    )
+    """,
+    doc="deterministic train/val/test split by id-hash bucket: stable "
+    "across runs, engines, and corpus growth (a doc keeps its split "
+    "forever — the contamination guard); pure projection, no shuffle "
+    "(operators.corpus.hash_split)",
+)
+def q_cp2_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.corpus import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "cp3_pack_sequences",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(floor((SUM(len(toks)) OVER (ORDER BY doc_id ASC
+                         ROWS UNBOUNDED PRECEDING) - len(toks)) / 2048.0)
+                AS BIGINT) AS pack_id
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    """,
+    doc="greedy sequence packing into 2048-token training packs: "
+    "pack_id = exclusive running token count div budget. The running "
+    "count is the two-phase parallel prefix sum (partition-local cumsum "
+    "+ metadata-sized per-partition offsets), NOT an unpartitioned "
+    "window — the single-task trap the naive SQL formulation (which the "
+    "oracle, running single-node anyway, uses) would hit at scale "
+    "(operators.corpus.pack_sequences)",
+)
+def q_cp3_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.corpus import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, "text", "doc_id", budget_tokens=2048)
+
+
+@register(
+    "cp4_length_buckets",
+    f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(ntile(10) OVER (ORDER BY len(toks) ASC, doc_id ASC)
+                AS INT) AS length_bucket
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    """,
+    doc="length-curriculum bucketing: NTILE(10) over token count with "
+    "deterministic tie-break — batches of same-length docs minimize "
+    "padding waste. Implemented as two-phase global row_number + "
+    "explicit ntile arithmetic instead of an unpartitioned window "
+    "(operators.corpus.length_buckets)",
+)
+def q_cp4_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.corpus import length_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return length_buckets(d, "text", "doc_id", n_bucket=10)
+
+
 @register(
     "x1_throttled_fetch",
     """

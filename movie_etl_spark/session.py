@@ -99,6 +99,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+#: DataFrames persisted by operators whose plans reuse an intermediate
+#: several times. Operators return lazy DataFrames, so they cannot
+#: unpersist their own caches — callers that run many queries in one
+#: session (bench.py, tools/selfcheck.py, the driver shim) release them
+#: via :func:`release_caches` after consuming each result.
+_CACHED: list[DataFrame] = []
+
+
+def cache_tracked(df: DataFrame) -> DataFrame:
+    """persist() with caller-owned lifetime (see :func:`release_caches`)."""
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_caches(blocking: bool = False) -> None:
+    """Unpersist every operator-cached DataFrame registered so far."""
+    while _CACHED:
+        _CACHED.pop().unpersist(blocking=blocking)
+
+
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     """Fan a narrow scan out to the session's parallelism.
 

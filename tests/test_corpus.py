@@ -1,0 +1,105 @@
+"""Training-corpus assembly operators (quality gate, splits, packing,
+length bucketing) — including equivalence of the two-phase parallel
+prefix machinery with the naive single-window formulation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_etl_spark.operators.corpus import (
+    hash_split,
+    length_buckets,
+    pack_sequences,
+    quality_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the cat and the dog walked to the river and it was a good day for all of them there"),
+        (1, "short doc"),  # fails min_tokens
+        (2, "!!! ??? ### $$$ " * 10 + "the of and to it is that in a an"),  # punct-heavy
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3),  # no stopwords
+        (4, "it is the best of times and the worst of times for a tale that has two cities in it told again"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_filter_gates(corpus):
+    kept = {r.doc_id for r in quality_filter(corpus, "text", "doc_id").collect()}
+    assert kept == {0, 4}  # 1 too short, 2 too punctuated, 3 no stopwords
+
+
+def test_hash_split_is_stable_and_total(spark):
+    ids = spark.range(0, 1000).selectExpr("id AS doc_id")
+    a = {r.doc_id: r.split for r in hash_split(ids, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(ids, "doc_id").collect()}
+    assert a == b  # deterministic
+    counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # a document keeps its split when the corpus grows (no repartition
+    # of history — the contamination guard)
+    grown = {r.doc_id: r.split
+             for r in hash_split(
+                 spark.range(0, 2000).selectExpr("id AS doc_id"), "doc_id"
+             ).collect()}
+    assert all(grown[i] == a[i] for i in a)
+
+
+def test_pack_sequences_matches_serial_packing(spark):
+    rows = [(i, "w " * ((i * 7) % 50 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.pack_id)
+           for r in pack_sequences(df, "text", "doc_id", budget_tokens=100).collect()}
+    cum = 0
+    for i in range(200):
+        n = (i * 7) % 50 + 1
+        assert got[i] == (n, cum // 100), i
+        cum += n
+    # packs are contiguous and non-decreasing in id order
+    packs = [got[i][1] for i in range(200)]
+    assert packs == sorted(packs)
+
+
+def test_length_buckets_matches_ntile(spark):
+    rows = [(i, "tok " * ((i * 13) % 37 + 1)) for i in range(123)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.length_bucket
+           for r in length_buckets(df, "text", "doc_id", n_bucket=10).collect()}
+    # reference: python ntile over the same total order
+    order = sorted(range(123), key=lambda i: ((i * 13) % 37 + 1, i))
+    n, k = 123, 10
+    big, small = n % k, n // k
+    want = {}
+    for rank, doc in enumerate(order, start=1):
+        if rank <= big * (small + 1):
+            want[doc] = (rank - 1) // (small + 1) + 1
+        else:
+            want[doc] = big + (rank - big * (small + 1) - 1) // small + 1
+    assert got == want
+
+
+def test_two_phase_prefix_equals_naive_window(spark):
+    from movie_etl_spark.operators.corpus import _two_phase_prefix
+
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k", "CAST(id % 97 + 1 AS LONG) AS v"
+    )
+    pref, total_rows, total_sum = _two_phase_prefix(df, ["k"], sum_col="v")
+    got = {r.k: (r._rn, r._cum) for r in pref.collect()}
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = {
+        r.k: (r.rn, r.cum)
+        for r in df.select(
+            "k",
+            F.row_number().over(Window.orderBy("k")).alias("rn"),
+            F.sum("v").over(w).alias("cum"),
+        ).collect()
+    }
+    assert got == naive
+    assert total_rows == 5000 and total_sum == sum(i % 97 + 1 for i in range(5000))
