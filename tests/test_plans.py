@@ -63,6 +63,28 @@ def test_o1_uses_take_ordered_not_full_sort(spark):
 
 
 @needs_testdata
+@pytest.mark.parametrize("name", ["cp3_pack_sequences", "cp4_length_buckets"])
+def test_ordered_corpus_ops_have_no_single_partition_window(spark, name):
+    """The two-phase prefix contract: global ordering must NOT execute
+    as an unpartitioned window (plan marker: an 'Exchange SinglePartition'
+    feeding a Window), which would funnel the whole corpus through one
+    task at scale."""
+    plan = _plan(spark, name)
+    assert "Window" in plan  # the partition-local window is there...
+    assert "SinglePartition" not in plan  # ...the single-task trap is not
+
+
+@needs_testdata
+def test_t3_winnowing_has_no_semantic_shuffle(spark):
+    """Winnowing computes rolling minima per row: the only allowed
+    exchange is ensure_parallelism's round-robin fan-out — no hash or
+    range repartitioning anywhere."""
+    plan = _plan(spark, "t3_winnowing_fingerprints")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+@needs_testdata
 def test_ap1_approx_within_sanity_band(spark):
     """The sanity band ap1's docstring promises: approx_count_distinct
     (rsd=0.02) lands within ±5% of the exact per-group cardinality.
