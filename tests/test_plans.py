@@ -110,3 +110,15 @@ def test_ap1_approx_within_sanity_band(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_catalog_registry_is_consistent():
+    """Driver-contract hygiene: every query has a doc, every oracle is
+    non-empty SQL, and rows-only entries (oracle=None) are the two
+    documented exceptions."""
+    rows_only = {name for name, qd in QUERIES.items() if qd.oracle is None}
+    assert rows_only == {"ap1_approx_count_distinct", "st3_stateful_counts"}
+    for name, qd in QUERIES.items():
+        assert qd.doc, name
+        if qd.oracle is not None:
+            assert "SELECT" in qd.oracle.upper(), name
