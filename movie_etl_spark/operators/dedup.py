@@ -241,7 +241,10 @@ def ngram_jaccard_pairs(
     # the gram inverted index feeds document frequencies, the candidate
     # join (twice) and the intersection join (twice): persist it once
     # (memory, spill-to-disk) instead of re-running the explode 5x;
-    # callers release via release_indexes()
+    # callers release via release_indexes(). Grams are carried as 60-bit
+    # md5-prefix ints, not strings: five joins shuffle an 8-byte key
+    # instead of a ~20-byte text gram (any hash collision is identical
+    # in the oracle, which computes the same md5 prefix)
     grams = _persist(
         toks.select(
             id_col,
@@ -252,9 +255,15 @@ def ngram_jaccard_pairs(
                         lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
                     )
                 )
-            ).alias("gram"),
+            ).alias("_gram_s"),
         )
-        .filter(F.length("gram") > 0)
+        .filter(F.length("_gram_s") > 0)
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5("_gram_s"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gram"),
+        )
     )
     df_counts = grams.groupBy("gram").agg(F.count("*").alias("df_count"))
     rare = grams.join(

@@ -193,16 +193,35 @@ def ivf_top_k(
         )
         return scored.withColumn("_rn", F.row_number().over(w)).drop("c_vec", "_centn")
 
-    corpus_assigned = (
-        assign(corpus, "neighbor_id", "c_vec_n", "_cn")
-        .filter(F.col("_rn") == 1)
-        .select("neighbor_id", "c_vec_n", "_cn", "centroid_id")
-    )
-    query_probes = (
-        assign(queries, "query_id", "q_vec", "_qn")
-        .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "q_vec", "_qn", "centroid_id")
-    )
+    if queries is corpus:
+        # self-search (the common dedup/recommendation case): the
+        # centroid scoring + ranking pass is identical for both sides —
+        # compute it once, cache it, slice twice (rn==1 assignment,
+        # rn<=n_probe probes) instead of paying the bounded cross join
+        # and the per-vector window twice
+        from movie_etl_spark.session import cache_tracked
+
+        ranked = cache_tracked(assign(corpus, "neighbor_id", "c_vec_n", "_cn"))
+        corpus_assigned = ranked.filter(F.col("_rn") == 1).select(
+            "neighbor_id", "c_vec_n", "_cn", "centroid_id"
+        )
+        query_probes = ranked.filter(F.col("_rn") <= n_probe).select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("c_vec_n").alias("q_vec"),
+            F.col("_cn").alias("_qn"),
+            "centroid_id",
+        )
+    else:
+        corpus_assigned = (
+            assign(corpus, "neighbor_id", "c_vec_n", "_cn")
+            .filter(F.col("_rn") == 1)
+            .select("neighbor_id", "c_vec_n", "_cn", "centroid_id")
+        )
+        query_probes = (
+            assign(queries, "query_id", "q_vec", "_qn")
+            .filter(F.col("_rn") <= n_probe)
+            .select("query_id", "q_vec", "_qn", "centroid_id")
+        )
     scored = (
         query_probes.join(corpus_assigned, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -819,7 +819,11 @@ def q_dd3_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))) AS gram
       FROM toks
     ),
-    grams AS (SELECT doc_id, gram FROM g0 WHERE length(gram) > 0),
+    grams AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gram
+      FROM g0 WHERE length(gram) > 0
+    ),
     dfc AS (SELECT gram, count(*) AS df_count FROM grams GROUP BY gram),
     rare AS (SELECT g.doc_id, g.gram FROM grams g
              JOIN dfc ON dfc.gram = g.gram AND dfc.df_count <= 20),
