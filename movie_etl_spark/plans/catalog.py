@@ -632,7 +632,11 @@ def _sql_minhash_sigs(src: str = "documents") -> str:
     {_sql_shingles(src)},
     sigs AS (
       SELECT doc_id,
-             {", ".join(f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(8))}
+             {", ".join(
+                 f"min(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 15)) "
+                 f"AS BIGINT)) AS mh_{i}"
+                 for i in range(8)
+             )}
       FROM sh GROUP BY doc_id
     )
 """
