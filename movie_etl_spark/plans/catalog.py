@@ -1626,6 +1626,53 @@ def q_u1_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sk1_salted_hot_key_count",
+    """
+    SELECT l_returnflag, count(*) AS count
+    FROM lineitem GROUP BY 1
+    """,
+    doc="skew-mitigation surfaced through the driver: two-phase salted "
+    "aggregation over lineitem's 3-value l_returnflag (every key is a "
+    "hot key — the case AQE's skew-join splitting cannot fix because "
+    "it is an AGGREGATION). Pre-aggregate per (key, salt) bounds every "
+    "reducer's input; the oracle is the plain GROUP BY, which must "
+    "match bit-for-bit whatever the salt assignment "
+    "(operators.skew.salted_count)",
+)
+def q_sk1_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.skew import salted_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_count(li, ["l_returnflag"])
+
+
+@register(
+    "ap2_exact_percentile",
+    """
+    SELECT o_orderpriority AS priority,
+           list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+                          x -> round(x, 6)) AS price_quartiles,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+    doc="exact percentiles via the built-in JVM-side F.percentile "
+    "(Spark >= 3.5, linear interpolation — same semantics as DuckDB's "
+    "quantile_cont, so unlike HLL/percentile_approx this approx-family "
+    "operation IS oracle-checkable). Complements ap1's rows-only "
+    "approx_count_distinct",
+)
+def q_ap2_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.transform(
+            F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75])),
+            lambda x: F.round(x, 6),
+        ).alias("price_quartiles"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 _SQL_DOC_METRICS = f"""
     doc_metrics AS (
       SELECT doc_id,
