@@ -138,3 +138,73 @@ def hierarchy_closure(
         F.col("_root").alias("root_id"),
         F.col("_depth").alias("depth"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: list[str],
+    payload_cols: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward inclusive as-of join: each left row picks up the payload
+    of the LATEST right row with ``right.ts <= left.ts`` in the same
+    ``by_cols`` group (NULLs when none precedes — left-join semantics).
+    The operator Spark's DataFrame API lacks (pandas-on-Spark has
+    merge_asof; DuckDB has native ASOF JOIN, which the oracle uses).
+
+    Scale design — the union trick, NOT a theta-join: tag right rows 0
+    and left rows 1, sort within each by-group on (ts, tag), and carry
+    the most recent right payload forward with last(ignorenulls) over
+    an unbounded-preceding frame. ONE hash shuffle on by_cols and a
+    partition-local sort; the naive left.join(right, ts >= ts) + argmax
+    formulation explodes quadratically on hot groups. Tag ordering
+    makes equality ties resolve right-before-left, i.e. a right row at
+    exactly left.ts IS matched. Ties BETWEEN right rows at one ts are
+    resolved arbitrarily — pre-dedup the right side on (by, ts) when
+    that matters.
+
+    The payload travels as ONE struct (non-null exactly on right rows),
+    so last(ignorenulls) tracks the latest right ROW even when an
+    individual payload field is legitimately NULL — per-column carries
+    would skip past it to an older row.
+    """
+    from pyspark.sql.types import StructType
+    from pyspark.sql.window import Window
+
+    pay_schema = StructType([right.schema[c] for c in payload_cols])
+    l_cols = [c for c in left.columns if c not in by_cols]
+    l2 = left.select(
+        *by_cols,
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in l_cols],
+        F.lit(None).cast(pay_schema).alias("_pay"),
+    )
+    r2 = right.select(
+        *by_cols,
+        F.lit(0).alias("_is_left"),
+        F.col(ts_col),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_cols
+            if c != ts_col
+        ],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_pay"),
+    )
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2).select(
+        *by_cols,
+        "_is_left",
+        *[F.col(c) for c in l_cols],
+        F.last("_pay", ignorenulls=True).over(w).alias("_pay"),
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *by_cols,
+        *[F.col(c) for c in l_cols],
+        *[F.col("_pay")[c].alias(f"{prefix}{c}") for c in payload_cols],
+    )

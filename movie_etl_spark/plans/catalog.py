@@ -1627,6 +1627,57 @@ def q_u1_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6_asof_join",
+    """
+    SELECT p.user_id, p.ts, p.event_id, p.value,
+           v.ts AS r_ts, v.value AS r_value
+    FROM (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="as-of join (each purchase picks up the user's most recent "
+    "preceding view): the union-trick implementation — one hash shuffle "
+    "+ partition-local sort with a last(ignorenulls) struct carry, "
+    "never the quadratic theta-join — checked against DuckDB's native "
+    "ASOF LEFT JOIN (operators.joins.asof_join)",
+)
+def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(purchases, views, "ts", ["user_id"], ["ts", "value"])
+
+
+@register(
+    "a5_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE aggregation (all 4 grouping sets of status x priority in "
+    "one pass — completes the rollup/pivot/cube §2.11 family): "
+    "decimal-exact sums, map-side partial aggregation, one shuffle",
+)
+def q_a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
+@register(
     "sk1_salted_hot_key_count",
     """
     SELECT l_returnflag, count(*) AS count

@@ -163,3 +163,25 @@ def test_bulk_load_nodes_from_csv(spark, tmp_path):
     write_csv(src, path)
     nodes = bulk_load_nodes_from_csv(spark, path, "node_id", order_col="name")
     assert {(r.node_id, r.name) for r in nodes.collect()} == {(1, "a"), (2, "c")}
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive as-of: latest right row at-or-before each left
+    ts; NULLs when none precedes; a right payload field that is itself
+    NULL must still win (struct carry, not per-column skip)."""
+    from movie_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "early"), (2, 10, "other")],
+        "g int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, None), (2, 99, 9.9)],
+        "g int, ts int, v double",
+    )
+    out = {r.tag: (r.r_ts, r.r_v) for r in
+           asof_join(left, right, "ts", ["g"], ["ts", "v"]).collect()}
+    assert out["early"] == (None, None)        # nothing precedes ts=5
+    assert out["a"] == (10, 1.0)               # equality is inclusive
+    assert out["b"] == (15, None)              # NULL payload still wins
+    assert out["other"] == (None, None)        # group 2's right is later
