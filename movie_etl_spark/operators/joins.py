@@ -208,3 +208,53 @@ def asof_join(
         *[F.col(c) for c in l_cols],
         *[F.col("_pay")[c].alias(f"{prefix}{c}") for c in payload_cols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by_cols: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval containment join: left rows matched to every right
+    interval of the same ``by_cols`` group with
+    ``start <= ts < end`` — the range-join family member next to
+    :func:`asof_join`.
+
+    Scale design — bucketized equi-join, NOT a theta-join: time is cut
+    into ``bucket_seconds`` buckets; each left row lands in one bucket,
+    each right interval explodes to the buckets it overlaps (bounded
+    replication: interval_length/bucket_seconds + 1 rows — size the
+    bucket near the typical interval length). The join is then a plain
+    hash equi-join on (by, bucket) with the exact predicate applied to
+    candidates only. A naive ts-between-start-and-end join condition
+    forces BroadcastNestedLoopJoin — quadratic per group and the exact
+    shape test_plans bans elsewhere. Each (left, interval) pair arises
+    from exactly one bucket (the left row's), so no dedup is needed.
+    """
+    lb = left.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+    )
+    rb = right.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    F.unix_timestamp(F.col(start_col)) / bucket_seconds
+                ).cast("long"),
+                F.floor(
+                    F.unix_timestamp(F.col(end_col)) / bucket_seconds
+                ).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, [*by_cols, "_b"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("_b")
+    )

@@ -1657,6 +1657,47 @@ def q_j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j7_range_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           e.event_id AS error_id, e.ts AS error_ts
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
+    """,
+    doc="range join (clicks within 6 hours after an error, per user): "
+    "bucketized equi-join on (user, time-bucket) with bounded interval "
+    "replication + exact predicate on candidates — the plan that scales "
+    "where the naive between-condition join degenerates to a "
+    "BroadcastNestedLoopJoin (operators.joins.interval_join). Oracle is "
+    "DuckDB's native inequality join (IEJoin)",
+)
+def q_j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.joins import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withColumn("_end", F.col("error_ts") + F.expr("INTERVAL 6 HOURS"))
+    )
+    return interval_join(
+        clicks, errors, ["user_id"], "click_ts", "error_ts", "_end",
+        bucket_seconds=6 * 3600,
+    ).select("user_id", "click_id", "click_ts", "error_id", "error_ts")
+
+
+@register(
     "a5_cube",
     """
     SELECT o_orderstatus, o_orderpriority,

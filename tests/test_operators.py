@@ -185,3 +185,37 @@ def test_asof_join_semantics(spark):
     assert out["a"] == (10, 1.0)               # equality is inclusive
     assert out["b"] == (15, None)              # NULL payload still wins
     assert out["other"] == (None, None)        # group 2's right is later
+
+
+def test_interval_join_boundaries_and_bucket_straddle(spark):
+    """start inclusive, end exclusive; intervals longer than the bucket
+    and straddling bucket boundaries must still match (the sequence
+    explode covers every overlapped bucket)."""
+    from datetime import datetime
+
+    from movie_etl_spark.operators.joins import interval_join
+
+    def t(s):
+        return datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [
+            (1, "at_start", t("2024-01-01 10:00:00")),
+            (1, "inside", t("2024-01-01 11:30:00")),
+            (1, "at_end", t("2024-01-01 12:00:00")),
+            (1, "straddle", t("2024-01-01 23:59:00")),
+            (2, "wrong_group", t("2024-01-01 11:00:00")),
+        ],
+        "g int, tag string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "w1", t("2024-01-01 10:00:00"), t("2024-01-01 12:00:00")),
+            (1, "w2", t("2024-01-01 23:00:00"), t("2024-01-02 01:00:00")),
+        ],
+        "g int, win string, start timestamp, end timestamp",
+    )
+    out = {(r.tag, r.win) for r in
+           interval_join(left, right, ["g"], "ts", "start", "end",
+                         bucket_seconds=3600).collect()}
+    assert out == {("at_start", "w1"), ("inside", "w1"), ("straddle", "w2")}

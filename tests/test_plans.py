@@ -122,3 +122,11 @@ def test_catalog_registry_is_consistent():
         assert qd.doc, name
         if qd.oracle is not None:
             assert "SELECT" in qd.oracle.upper(), name
+
+
+@needs_testdata
+def test_range_and_asof_joins_have_no_nested_loop(spark):
+    for name in ("j7_range_join", "j6_asof_join"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
