@@ -1627,6 +1627,35 @@ def q_u1_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f10_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_total
+    FROM events GROUP BY 1
+    """,
+    doc="semi-structured JSON column extraction (S2's JSON parsing as a "
+    "driver-visible scalar path): from_json with an explicit schema "
+    "(malformed rows -> NULL, never a crash), then a plain aggregate — "
+    "all JVM-side, no UDF. Oracle uses DuckDB's json_extract_string",
+)
+def q_f10_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.from_json("props", "k int").getField("k").alias("_k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("_k").cast("long").alias("k_total"),
+        )
+    )
+
+
+@register(
     "j6_asof_join",
     """
     SELECT p.user_id, p.ts, p.event_id, p.value,
