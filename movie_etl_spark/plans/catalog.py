@@ -1582,6 +1582,75 @@ def q_st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st5_stream_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           e.event_id AS error_id, e.ts AS error_ts
+    FROM (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
+    """,
+    doc="stream-stream inner join (two REAL readStreams over the staged "
+    "events, watermarked both sides, time-range condition): Spark keeps "
+    "each side's rows in state only until the watermark passes the "
+    "range bound — bounded state for an unbounded join. Same semantics "
+    "as j7's batch range join, so the oracle is identical and any "
+    "divergence between the streaming and batch answer breaks the hash",
+)
+def q_st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    events = _t(spark, sf_dir, "events")
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        f"movie-etl-st5-{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+
+    def side(alias: str, etype: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(staged)
+            .filter(F.col("event_type") == etype)
+            .select("user_id", "event_id", "ts")
+            # watermark wider than the staged ts range: a bounded
+            # backfill must not drop unordered rows as late; on a live
+            # deployment this is the state-retention knob
+            .withWatermark("ts", "365 days")
+            .alias(alias)
+        )
+
+    joined = side("c", "click").join(
+        side("e", "error"),
+        F.expr(
+            "c.user_id = e.user_id AND c.ts >= e.ts "
+            "AND c.ts < e.ts + INTERVAL 6 HOURS"
+        ),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("e.event_id").alias("error_id"),
+        F.col("e.ts").alias("error_ts"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("st5_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("st5_join")
+
+
+@register(
     "u1_udtf_ngrams",
     f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
