@@ -42,30 +42,52 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
 
 
+#: 60-bit mask for the Carter-Wegman hash family (fits signed 64-bit
+#: arithmetic in both engines: a + 7*b < 2^63, no overflow)
+_MASK60 = (1 << 60) - 1
+
+
 def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int, stride: int) -> DataFrame:
+    """(id, a, b): each distinct shingle reduced to two 60-bit md5-half
+    integers — ONE md5 per shingle row feeds the whole num_hashes-wide
+    signature family (vs one salted md5 per hash function), and the
+    index carries no strings at all: `a` doubles as the 8-byte shingle
+    identity for the verification joins (hash collisions are mirrored
+    by the oracle, which computes the identical fold)."""
     df = ensure_parallelism(df)
-    return df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(char_shingles(text_col, k, stride))).alias("shingle"),
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(char_shingles(text_col, k, stride))
+            ).alias("_s"),
+        )
+        .select(F.col(id_col), F.md5("_s").alias("_m"))
+        .select(
+            id_col,
+            F.conv(F.substring("_m", 1, 15), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring("_m", 17, 15), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1))
+            .alias("b"),
+        )
     )
 
 
-def _minhash_expr(i: int, shingle: Column) -> Column:
-    """Hash function i: md5 with an index salt, folded to a 60-bit int.
-    MIN over the md5-prefix integers is a valid uniform minhash and is
-    engine-portable; integer agg state (8 B) beats the 32-char hex
-    string (~40 B + lexicographic compares) the naive version keeps."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, 15), 16, 10
-    ).cast("long")
-    return F.min(h).alias(f"mh_{i}")
+def _minhash_expr(i: int) -> Column:
+    """Hash function i of the Carter-Wegman family: (a + i*b) masked to
+    60 bits, minimized per document. Pairwise-independent across i, one
+    md5 per shingle for the whole family, integer agg state."""
+    return F.min(
+        (F.col("a") + F.lit(i) * F.col("b")).bitwiseAND(F.lit(_MASK60))
+    ).alias(f"mh_{i}")
 
 
 def _signatures_from_shingles(
     sh: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
     return sh.groupBy(id_col).agg(
-        *[_minhash_expr(i, F.col("shingle")) for i in range(num_hashes)]
+        *[_minhash_expr(i) for i in range(num_hashes)]
     )
 
 
@@ -187,11 +209,11 @@ def near_dup_pairs_minhash(
     )
 
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("a"))
     inter = (
         candidates.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
+        .join(sh_b, ["id_b", "a"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )

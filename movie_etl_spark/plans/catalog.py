@@ -613,7 +613,13 @@ _SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 # char 8-shingles stride 4 over normalized text (matches
 # functions.text.char_shingles: offsets 1, 5, ... inclusive of
 # greatest(len-7, 1); empty text -> no rows)
+_SQL_MASK60 = (1 << 60) - 1
+
+
 def _sql_shingles(src: str = "documents") -> str:
+    # sh carries each distinct shingle as the two 60-bit md5-half ints
+    # (a, b) of the Carter-Wegman family — mirrors operators.dedup
+    # exactly, including any hash collision
     return f"""
     norm AS (SELECT doc_id, {_SQL_NORM} AS s FROM {src}),
     sh0 AS (
@@ -623,7 +629,13 @@ def _sql_shingles(src: str = "documents") -> str:
                o -> substr(s, o, 8))) AS shingle
       FROM norm WHERE length(s) > 0
     ),
-    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+    sh_str AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    sh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS a,
+             CAST(concat('0x', substr(md5(shingle), 17, 15)) AS BIGINT) | 1 AS b
+      FROM sh_str
+    )
 """
 
 
@@ -633,8 +645,7 @@ def _sql_minhash_sigs(src: str = "documents") -> str:
     sigs AS (
       SELECT doc_id,
              {", ".join(
-                 f"min(CAST(concat('0x', substr(md5('{i}:' || shingle), 1, 15)) "
-                 f"AS BIGINT)) AS mh_{i}"
+                 f"min((a + {i} * b) & {_SQL_MASK60}) AS mh_{i}"
                  for i in range(8)
              )}
       FROM sh GROUP BY doc_id
@@ -789,7 +800,7 @@ def q_dd2_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.id_a, c.id_b, count(*) AS n_inter
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.a = sa.a
       GROUP BY c.id_a, c.id_b
     )
     SELECT id_a, id_b, jaccard FROM exact_pairs
