@@ -65,6 +65,72 @@ def rollback_key(df: DataFrame, key: str, values: list) -> DataFrame:
     return df.filter(~F.col(key).isin(values))
 
 
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    eff_col: str = "eff",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge, single batch: history is
+    never rewritten, it is appended to. For each key whose compared
+    attributes changed (null-safe comparison), the open row is CLOSED
+    at the update's effective date and a new open row is inserted;
+    unchanged keys, keys without updates, and already-closed history
+    pass through untouched; brand-new keys insert as open rows.
+
+    The reference's upserts overwrite in place (ON CONFLICT DO
+    NOTHING); SCD2 is what a warehouse needs when the question is
+    "what did this dimension look like WHEN the fact happened" — the
+    natural partner of :func:`movie_etl_spark.operators.joins.asof_join`
+    over ``valid_from``.
+
+    Scale: one hash join current-open vs updates on the key, plus one
+    anti-join for new keys; no windows, no collects. ``updates`` must
+    be one row per key (pre-resolve with :func:`dedup_by_key`).
+    """
+    out_cols = [*keys, *compare_cols, valid_from, valid_to]
+    open_rows = current.filter(F.col(valid_to).isNull())
+    closed_rows = current.filter(F.col(valid_to).isNotNull()).select(*out_cols)
+
+    upd = updates.select(
+        *keys,
+        *[F.col(c).alias(f"_u_{c}") for c in compare_cols],
+        F.col(eff_col).alias("_u_eff"),
+    )
+    j = open_rows.join(upd, keys, "left")
+    changed = F.col("_u_eff").isNotNull() & ~F.expr(
+        " AND ".join(f"({c} <=> _u_{c})" for c in compare_cols)
+    )
+    newly_closed = j.filter(changed).select(
+        *keys, *compare_cols, F.col(valid_from), F.col("_u_eff").alias(valid_to)
+    )
+    reopened = j.filter(changed).select(
+        *keys,
+        *[F.col(f"_u_{c}").alias(c) for c in compare_cols],
+        F.col("_u_eff").alias(valid_from),
+        F.lit(None).cast(open_rows.schema[valid_to].dataType).alias(valid_to),
+    )
+    untouched_open = j.filter(~changed | F.col("_u_eff").isNull()).select(*out_cols)
+    brand_new = (
+        updates.join(current.select(*keys), keys, "left_anti")
+        .select(
+            *keys,
+            *compare_cols,
+            F.col(eff_col).alias(valid_from),
+            F.lit(None).cast(open_rows.schema[valid_to].dataType).alias(valid_to),
+        )
+    )
+    return (
+        closed_rows.unionByName(newly_closed)
+        .unionByName(untouched_open)
+        .unionByName(reopened)
+        .unionByName(brand_new)
+    )
+
+
 def rollback_entity(
     tables: dict[str, DataFrame],
     values: list,

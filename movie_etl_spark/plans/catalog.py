@@ -1707,6 +1707,58 @@ def q_u1_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d5_scd2_merge",
+    """
+    WITH cur AS (
+      SELECT c_custkey AS k, round(c_acctbal, 2) AS acctbal,
+             DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer
+    ),
+    upd AS (
+      SELECT c_custkey AS k, round(c_acctbal + 100, 2) AS acctbal,
+             DATE '2024-06-01' AS eff
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT c.k, c.acctbal, c.valid_from, u.eff AS valid_to
+    FROM cur c JOIN upd u ON c.k = u.k
+    WHERE c.acctbal IS DISTINCT FROM u.acctbal
+    UNION ALL
+    SELECT u.k, u.acctbal, u.eff AS valid_from, CAST(NULL AS DATE) AS valid_to
+    FROM upd u JOIN cur c ON c.k = u.k
+    WHERE c.acctbal IS DISTINCT FROM u.acctbal
+    UNION ALL
+    SELECT c.k, c.acctbal, c.valid_from, c.valid_to
+    FROM cur c LEFT JOIN upd u ON c.k = u.k
+    WHERE u.k IS NULL OR NOT (c.acctbal IS DISTINCT FROM u.acctbal)
+    """,
+    doc="SCD2 (type-2 slowly-changing dimension) merge: changed keys "
+    "close their open row at the effective date and insert a new open "
+    "row; history is append-only, unchanged keys pass through. One "
+    "hash join + one anti-join, no windows — the warehouse partner of "
+    "the as-of join (operators.upsert.scd2_apply)",
+)
+def q_d5_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.upsert import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    current = c.select(
+        F.col("c_custkey").alias("k"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal") + 100, 2).alias("acctbal"),
+            F.lit("2024-06-01").cast("date").alias("eff"),
+        )
+    )
+    return scd2_apply(current, updates, ["k"], ["acctbal"], eff_col="eff")
+
+
+@register(
     "f10_json_props",
     """
     SELECT event_type,

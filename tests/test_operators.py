@@ -219,3 +219,44 @@ def test_interval_join_boundaries_and_bucket_straddle(spark):
            interval_join(left, right, ["g"], "ts", "start", "end",
                          bucket_seconds=3600).collect()}
     assert out == {("at_start", "w1"), ("inside", "w1"), ("straddle", "w2")}
+
+
+def test_scd2_apply_full_matrix(spark):
+    """SCD2: changed key closes + reopens; unchanged and update-less
+    keys pass through; closed history is untouched; brand-new keys
+    insert open; NULL attrs compare null-safely (NULL == NULL is NOT a
+    change)."""
+    from datetime import date
+
+    from movie_etl_spark.operators.upsert import scd2_apply
+
+    current = spark.createDataFrame(
+        [
+            (1, 10.0, date(2020, 1, 1), None),           # will change
+            (2, 20.0, date(2020, 1, 1), None),           # same value in update
+            (3, 30.0, date(2020, 1, 1), None),           # no update row
+            (1, 5.0, date(2010, 1, 1), date(2020, 1, 1)),  # closed history
+            (5, None, date(2020, 1, 1), None),           # NULL attr, NULL update
+        ],
+        "k int, v double, valid_from date, valid_to date",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 11.0, date(2024, 6, 1)),
+            (2, 20.0, date(2024, 6, 1)),
+            (4, 40.0, date(2024, 6, 1)),  # brand-new key
+            (5, None, date(2024, 6, 1)),  # NULL == NULL: no change
+        ],
+        "k int, v double, eff date",
+    )
+    out = {(r.k, r.v, r.valid_from, r.valid_to)
+           for r in scd2_apply(current, updates, ["k"], ["v"]).collect()}
+    assert out == {
+        (1, 10.0, date(2020, 1, 1), date(2024, 6, 1)),   # closed now
+        (1, 11.0, date(2024, 6, 1), None),               # reopened
+        (2, 20.0, date(2020, 1, 1), None),               # unchanged
+        (3, 30.0, date(2020, 1, 1), None),               # untouched
+        (1, 5.0, date(2010, 1, 1), date(2020, 1, 1)),    # history kept
+        (5, None, date(2020, 1, 1), None),               # null-safe: no churn
+        (4, 40.0, date(2024, 6, 1), None),               # brand new
+    }
