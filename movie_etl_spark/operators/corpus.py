@@ -133,6 +133,35 @@ def _two_phase_prefix(
     return out.drop("_pid", "_lrn", "_lcum"), total_rows, total_sum
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — dataset mixing by source
+    weight (the corpus-interleaving step of a training pipeline: "keep
+    50% of web, 100% of books, 10% of logs"). A row is kept iff its
+    id-hash bucket falls under its stratum's rate, so the sample is
+    reproducible across runs/engines and MONOTONE: raising a rate only
+    ADDS documents, it never swaps the ones already chosen (resampling
+    stability — the same property hash_split gives splits). Strata
+    absent from ``rates`` get ``default_rate``. Pure projection+filter,
+    no shuffle, no RNG.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.filter(bucket < rate * n_buckets)
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str,

@@ -2042,6 +2042,36 @@ def q_cp4_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cp5_stratified_sample",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE (CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000)
+        < (CASE event_type WHEN 'click' THEN 0.5
+                           WHEN 'view' THEN 1.0
+                           WHEN 'error' THEN 0.1
+                           WHEN 'purchase' THEN 0.25
+                           ELSE 0.0 END) * 1000
+    """,
+    doc="dataset mixing by source weight: deterministic per-stratum "
+    "sampling via id-hash buckets (keep 100% of views, 50% of clicks, "
+    "25% of purchases, 10% of errors, drop signups) — reproducible, "
+    "monotone under rate changes, no RNG, no shuffle "
+    "(operators.corpus.stratified_sample)",
+)
+def q_cp5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.corpus import stratified_sample
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_sample(
+        e,
+        "event_type",
+        "event_id",
+        rates={"click": 0.5, "view": 1.0, "error": 0.1, "purchase": 0.25},
+    )
+
+
+@register(
     "x1_throttled_fetch",
     """
     SELECT o_orderkey AS request_id,

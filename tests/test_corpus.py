@@ -103,3 +103,26 @@ def test_two_phase_prefix_equals_naive_window(spark):
     }
     assert got == naive
     assert total_rows == 5000 and total_sum == sum(i % 97 + 1 for i in range(5000))
+
+
+def test_stratified_sample_monotone_and_deterministic(spark):
+    from movie_etl_spark.operators.corpus import stratified_sample
+
+    df = spark.range(0, 4000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'books' END AS source",
+    )
+    low = {r.doc_id for r in stratified_sample(
+        df, "source", "doc_id", {"web": 0.2, "books": 1.0}).collect()}
+    high = {r.doc_id for r in stratified_sample(
+        df, "source", "doc_id", {"web": 0.5, "books": 1.0}).collect()}
+    again = {r.doc_id for r in stratified_sample(
+        df, "source", "doc_id", {"web": 0.2, "books": 1.0}).collect()}
+    assert low == again                      # deterministic
+    assert low <= high                       # monotone: raising adds only
+    assert {i for i in low if i % 2 == 1} == {i for i in range(4000) if i % 2 == 1}
+    web_frac = len([i for i in low if i % 2 == 0]) / 2000
+    assert 0.15 < web_frac < 0.25            # ~20% of the web stratum
+    # unlisted stratum drops entirely
+    none = stratified_sample(df, "source", "doc_id", {"books": 1.0}).collect()
+    assert all(r.source == "books" for r in none)
