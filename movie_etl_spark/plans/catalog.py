@@ -1525,7 +1525,7 @@ def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     staged = os.path.join(
         tempfile.gettempdir(),
-        f"movie-etl-st3-{os.path.basename(os.path.normpath(sf_dir))}",
+        f"movie-etl-events-{os.path.basename(os.path.normpath(sf_dir))}",  # shared with st5
     )
     # stage ONCE per sf (parquet's own _SUCCESS is the marker): repeat
     # invocations in the same or later sessions skip the sink I/O, and
@@ -1618,7 +1618,7 @@ def q_st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     staged = os.path.join(
         tempfile.gettempdir(),
-        f"movie-etl-st5-{os.path.basename(os.path.normpath(sf_dir))}",
+        f"movie-etl-events-{os.path.basename(os.path.normpath(sf_dir))}",  # shared with st3
     )
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         events.write.mode("overwrite").parquet(staged)
