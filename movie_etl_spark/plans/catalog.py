@@ -1880,6 +1880,34 @@ def q_a5_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a6_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="explicit GROUPING SETS (the general form of which a3's rollup "
+    "and a5's cube are specializations): per-status and per-priority "
+    "marginals in ONE scan + one expand, instead of two scans unioned",
+)
+def q_a6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("a6_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM a6_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
     "sk1_salted_hot_key_count",
     """
     SELECT l_returnflag, count(*) AS count
