@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): the custom join operators agree
+with their obvious-but-unscalable brute-force references on random
+inputs. Example counts are kept small — each example runs Spark jobs —
+but the generators explore the edge geometry (ties, empty sides,
+duplicate timestamps, singleton groups) that fixed fixtures miss."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # group
+        st.integers(min_value=0, max_value=50),   # ts
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(left=_rows, right=_rows)
+@_settings
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from movie_etl_spark.operators.joins import asof_join
+
+    lrows = [(g, t, i) for i, (g, t) in enumerate(left)]
+    # dedup right on (g, ts): asof ties between right rows are
+    # documented as caller-resolved, so feed it a tie-free right side
+    seen, rrows = set(), []
+    for j, (g, t) in enumerate(right):
+        if (g, t) not in seen:
+            seen.add((g, t))
+            rrows.append((g, t, float(j)))
+    ldf = spark.createDataFrame(lrows, "g int, ts int, lid int") if lrows else None
+    if ldf is None:
+        return
+    rdf = spark.createDataFrame(
+        rrows or [(99, 0, 0.0)], "g int, ts int, v double"
+    )
+    if not rrows:
+        rdf = rdf.filter("g < 0")  # genuinely empty right side
+
+    got = {
+        r.lid: (r.r_ts, r.r_v)
+        for r in asof_join(ldf, rdf, "ts", ["g"], ["ts", "v"]).collect()
+    }
+    for g, t, lid in lrows:
+        cands = [(rt, rv) for (rg, rt, rv) in rrows if rg == g and rt <= t]
+        want = max(cands, key=lambda x: x[0]) if cands else (None, None)
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+@given(left=_rows, right=_rows, dur=st.integers(min_value=1, max_value=9))
+@_settings
+def test_interval_join_matches_bruteforce(spark, left, right, dur):
+    from datetime import datetime, timedelta
+
+    from movie_etl_spark.operators.joins import interval_join
+
+    base = datetime(2024, 1, 1)
+
+    def ts(t):
+        return base + timedelta(minutes=7 * t)
+
+    lrows = [(g, ts(t), i) for i, (g, t) in enumerate(left)]
+    rrows = [(g, ts(t), ts(t + dur), 1000 + j) for j, (g, t) in enumerate(right)]
+    if not lrows or not rrows:
+        return
+    ldf = spark.createDataFrame(lrows, "g int, ts timestamp, lid int")
+    rdf = spark.createDataFrame(
+        rrows, "g int, start timestamp, end timestamp, rid int"
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            ldf, rdf, ["g"], "ts", "start", "end", bucket_seconds=600
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for (lg, lt, lid) in lrows
+        for (rg, rs, re, rid) in rrows
+        if lg == rg and rs <= lt < re
+    }
+    assert got == want
