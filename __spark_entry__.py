@@ -30,10 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (plus the
     LLM-data-pipeline extensions). Each callable takes (spark, sf_dir)
-    and returns a DataFrame."""
-    from movie_etl_spark.plans.catalog import QUERIES
+    and returns a DataFrame.
 
-    return {name: qd.fn for name, qd in QUERIES.items()}
+    Ordered by ``catalog.DRIVER_PRIORITY``: the driver's correctness gate
+    checks the first 50 entries, so never-yet-verified queries register
+    first and veterans rotate (see BASELINE.md rotation policy)."""
+    from movie_etl_spark.plans.catalog import ordered_queries
+
+    return {name: qd.fn for name, qd in ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -41,8 +45,10 @@ def oracle_sql() -> dict[str, str]:
     ``queries()``; queries whose oracle is None (genuinely
     non-SQL-expressible) are omitted so the driver records the weaker
     rows-only check."""
-    from movie_etl_spark.plans.catalog import QUERIES
+    from movie_etl_spark.plans.catalog import ordered_queries
 
     return {
-        name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None
+        name: qd.oracle
+        for name, qd in ordered_queries().items()
+        if qd.oracle is not None
     }
