@@ -43,8 +43,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 #: 60-bit mask for the Carter-Wegman hash family (fits signed 64-bit
-#: arithmetic in both engines: a + 7*b < 2^63, no overflow)
+#: arithmetic in both engines: a + (i*b mod 2^60) < 2^61, no overflow)
 _MASK60 = (1 << 60) - 1
+_MASK30 = (1 << 30) - 1
 
 
 def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int, stride: int) -> DataFrame:
@@ -75,11 +76,26 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int, stride: int
 
 
 def _minhash_expr(i: int) -> Column:
-    """Hash function i of the Carter-Wegman family: (a + i*b) masked to
-    60 bits, minimized per document. Pairwise-independent across i, one
-    md5 per shingle for the whole family, integer agg state."""
+    """Hash function i of the Carter-Wegman family: (a + i*b) mod 2^60,
+    minimized per document. Pairwise-independent across i, one md5 per
+    shingle for the whole family, integer agg state.
+
+    Overflow-proof for ANY i (Spark 4 ANSI mode raises on int64
+    overflow, and a naive ``a + i*b`` overflows from i >= 8): ``b`` is
+    split into 30-bit halves so ``i*b mod 2^60`` is assembled from
+    products that stay far below 2^63, then added to ``a`` (< 2^60).
+    For i <= 7 this is bit-identical to the direct fold (no overflow
+    occurs there, and (a + i*b) mod 2^60 == (a + (i*b mod 2^60)) mod
+    2^60), so signatures of the shipped default family are unchanged.
+    Mirrored exactly by the DuckDB oracle (catalog._sql_minhash_sigs).
+    """
+    i_bh = F.lit(i) * F.shiftright(F.col("b"), 30)
+    i_bl = F.lit(i) * F.col("b").bitwiseAND(F.lit(_MASK30))
+    term = (
+        F.shiftleft(i_bh.bitwiseAND(F.lit(_MASK30)), 30) + i_bl
+    ).bitwiseAND(F.lit(_MASK60))
     return F.min(
-        (F.col("a") + F.lit(i) * F.col("b")).bitwiseAND(F.lit(_MASK60))
+        (F.col("a") + term).bitwiseAND(F.lit(_MASK60))
     ).alias(f"mh_{i}")
 
 

@@ -639,15 +639,25 @@ def _sql_shingles(src: str = "documents") -> str:
 """
 
 
-def _sql_minhash_sigs(src: str = "documents") -> str:
+_SQL_MASK30 = (1 << 30) - 1
+
+
+def _sql_minhash_term(i: int) -> str:
+    # overflow-proof (a + i*b) mod 2^60 — mirrors dedup._minhash_expr:
+    # b split into 30-bit halves keeps every product far below 2^63
+    # (DuckDB BIGINT arithmetic also raises on overflow)
+    hi = f"((({i} * (b >> 30)) & {_SQL_MASK30}) << 30)"
+    lo = f"({i} * (b & {_SQL_MASK30}))"
+    term = f"(({hi} + {lo}) & {_SQL_MASK60})"
+    return f"min((a + {term}) & {_SQL_MASK60}) AS mh_{i}"
+
+
+def _sql_minhash_sigs(src: str = "documents", num_hashes: int = 8) -> str:
     return f"""
     {_sql_shingles(src)},
     sigs AS (
       SELECT doc_id,
-             {", ".join(
-                 f"min((a + {i} * b) & {_SQL_MASK60}) AS mh_{i}"
-                 for i in range(8)
-             )}
+             {", ".join(_sql_minhash_term(i) for i in range(num_hashes))}
       FROM sh GROUP BY doc_id
     )
 """
@@ -1507,6 +1517,35 @@ def q_a4_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_staging_dir(sf_dir: str, variant: str = "events") -> str:
+    """Staging directory for the streaming queries, keyed on a content
+    fingerprint (file sizes + mtimes) of the source events.parquet so
+    regenerated testdata invalidates the staged copy automatically.
+    (Previously keyed on the sf basename only: regenerating the table
+    at the same path silently served stale events to the streams while
+    the oracle read the live table.)"""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        paths = [src] if os.path.isfile(src) else [
+            os.path.join(src, p) for p in sorted(os.listdir(src))
+        ]
+        sig = "|".join(
+            f"{os.path.basename(p)}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}"
+            for p in paths
+        )
+    except OSError:
+        sig = "missing"
+    fp = hashlib.md5(sig.encode()).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), f"movie-etl-{variant}-{base}-{fp}"
+    )
+
+
 @register(
     "st3_stateful_counts",
     None,  # custom stateful streaming: genuinely non-SQL-expressible,
@@ -1518,16 +1557,13 @@ def q_a4_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from movie_etl_spark.streaming.events import stateful_user_counts
 
     events = _t(spark, sf_dir, "events")
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        f"movie-etl-events-{os.path.basename(os.path.normpath(sf_dir))}",  # shared with st5
-    )
-    # stage ONCE per sf (parquet's own _SUCCESS is the marker): repeat
+    staged = _events_staging_dir(sf_dir)  # shared with st5
+    # stage ONCE per sf+content (parquet's own _SUCCESS is the marker,
+    # the directory name carries the source fingerprint): repeat
     # invocations in the same or later sessions skip the sink I/O, and
     # the query stays a read-only plan after first touch. The staging
     # copy exists because the driver's events.parquet is a single file
@@ -1563,15 +1599,11 @@ def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from movie_etl_spark.streaming.events import dedup_events
 
     events = _t(spark, sf_dir, "events")
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        f"movie-etl-st4-{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    staged = _events_staging_dir(sf_dir, "st4")
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         # simulate an at-least-once source: 10% of events delivered twice
         redelivered = events.filter(F.col("event_id") % 10 == 0)
@@ -1605,50 +1637,47 @@ def q_st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
     """,
     doc="stream-stream inner join (two REAL readStreams over the staged "
-    "events, watermarked both sides, time-range condition): Spark keeps "
-    "each side's rows in state only until the watermark passes the "
-    "range bound — bounded state for an unbounded join. Same semantics "
-    "as j7's batch range join, so the oracle is identical and any "
-    "divergence between the streaming and batch answer breaks the hash",
+    "events, watermarked both sides, time-range condition) via "
+    "streaming.events.stream_stream_range_join: Spark keeps each "
+    "side's rows in state only until the watermark passes the range "
+    "bound — bounded state for an unbounded join. The watermark is the "
+    "state-retention knob, parameterized on the operator (7-day "
+    "production default, state sizing documented there); this bounded "
+    "backfill passes 365 days so no unordered historical row is "
+    "dropped as late. Same semantics as j7's batch range join, so the "
+    "oracle is identical and any divergence between the streaming and "
+    "batch answer breaks the hash",
 )
 def q_st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+
+    from movie_etl_spark.streaming.events import stream_stream_range_join
 
     events = _t(spark, sf_dir, "events")
-    staged = os.path.join(
-        tempfile.gettempdir(),
-        f"movie-etl-events-{os.path.basename(os.path.normpath(sf_dir))}",  # shared with st3
-    )
+    staged = _events_staging_dir(sf_dir)  # shared with st3
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         events.write.mode("overwrite").parquet(staged)
     schema = spark.read.parquet(staged).schema
 
-    def side(alias: str, etype: str):
+    def side(etype: str):
         return (
             spark.readStream.schema(schema)
             .parquet(staged)
             .filter(F.col("event_type") == etype)
             .select("user_id", "event_id", "ts")
-            # watermark wider than the staged ts range: a bounded
-            # backfill must not drop unordered rows as late; on a live
-            # deployment this is the state-retention knob
-            .withWatermark("ts", "365 days")
-            .alias(alias)
         )
 
-    joined = side("c", "click").join(
-        side("e", "error"),
-        F.expr(
-            "c.user_id = e.user_id AND c.ts >= e.ts "
-            "AND c.ts < e.ts + INTERVAL 6 HOURS"
-        ),
+    joined = stream_stream_range_join(
+        side("click"), side("error"),
+        range_duration="6 hours",
+        # backfill: wider than the staged ts span (see operator doc)
+        watermark="365 days",
     ).select(
-        F.col("c.user_id").alias("user_id"),
-        F.col("c.event_id").alias("click_id"),
-        F.col("c.ts").alias("click_ts"),
-        F.col("e.event_id").alias("error_id"),
-        F.col("e.ts").alias("error_ts"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("r.ts").alias("error_ts"),
     )
     q = (
         joined.writeStream.format("memory")

@@ -160,6 +160,44 @@ def dedup_events(
     return events.dropDuplicates(key_list)
 
 
+def stream_stream_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    range_duration: str = "6 hours",
+    watermark: str = "7 days",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join on ``user_id`` with a time-range bound:
+    left rows join right rows where ``left.ts >= right.ts`` and
+    ``left.ts < right.ts + range_duration``.
+
+    Both inputs must be streaming DataFrames with columns
+    ``(user_id, event_id, ts)``. Spark keeps each side's rows in state
+    only until the watermark passes the range bound — bounded state for
+    an unbounded join.
+
+    ``watermark`` is the state-retention knob and MUST be sized for the
+    deployment, not hard-coded: per side,
+    ``state ≈ input rate × (watermark + range_duration) × row size``.
+    The 7-day default suits a live deployment that tolerates up to a
+    week of disorder (e.g. 1k events/s × (7d + 6h) × ~50 B ≈ 31 GB of
+    state per side, spread across executors). A bounded BACKFILL should
+    instead pass a watermark wider than the full ts span of the data
+    (the catalog's st5 uses "365 days") so no unordered historical row
+    is dropped as late — availableNow tears all state down at the end,
+    so the wide setting costs nothing there.
+    """
+    l_wm = left.withWatermark(ts_col, watermark).alias("l")
+    r_wm = right.withWatermark(ts_col, watermark).alias("r")
+    return l_wm.join(
+        r_wm,
+        F.expr(
+            f"l.user_id = r.user_id AND l.{ts_col} >= r.{ts_col} "
+            f"AND l.{ts_col} < r.{ts_col} + INTERVAL {range_duration}"
+        ),
+    )
+
+
 def stateful_user_counts(
     stream: DataFrame,
     timeout_ms: int | None = None,

@@ -131,6 +131,69 @@ def test_streaming_dedup_across_micro_batches(spark, tmp_path):
 
 
 @needs_testdata
+def test_stream_stream_join_production_watermark(spark, tmp_path):
+    """stream_stream_range_join at the PRODUCTION default watermark
+    (7 days) must match the batch range join on a corpus whose disorder
+    fits inside the watermark — the knob exists for state sizing, not
+    correctness, as long as it covers the data's lateness."""
+    import pyspark.sql.functions as F
+
+    from movie_etl_spark.streaming.events import stream_stream_range_join
+
+    events = load_table(spark, TESTDATA_SF0001, "events")
+    # compress the ts span to < 7 days so the production watermark
+    # covers all disorder: day = original day mod 5
+    compact = events.withColumn(
+        "ts",
+        F.to_timestamp(
+            F.concat(
+                F.lit("2026-01-0"),
+                (F.dayofyear("ts") % 5 + 1).cast("string"),
+                F.lit(" "),
+                F.date_format("ts", "HH:mm:ss"),
+            )
+        ),
+    ).select("user_id", "event_id", "ts", "event_type")
+    staged = str(tmp_path / "events_ssj")
+    compact.write.parquet(staged)
+    schema = spark.read.parquet(staged).schema
+
+    def side(etype):
+        return (
+            spark.readStream.schema(schema).parquet(staged)
+            .filter(F.col("event_type") == etype)
+            .select("user_id", "event_id", "ts")
+        )
+
+    joined = stream_stream_range_join(
+        side("click"), side("error"), range_duration="6 hours"
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = {(r.click_id, r.error_id) for r in spark.table("ssj_test").collect()}
+
+    c = compact.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts"), "user_id"
+    )
+    e = compact.filter("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("ets"), "user_id"
+    )
+    batch = {
+        (r.click_id, r.error_id)
+        for r in c.join(e, "user_id")
+        .filter("cts >= ets AND cts < ets + INTERVAL 6 HOURS")
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+@needs_testdata
 def test_stateful_user_counts_matches_batch(spark, tmp_path):
     import pyspark.sql.functions as F
 

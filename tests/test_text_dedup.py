@@ -96,6 +96,49 @@ def test_minhash_near_dups(docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_wide_family_no_overflow(docs):
+    """num_hashes=16 used to raise ARITHMETIC_OVERFLOW under Spark 4
+    ANSI mode (i*b exceeds int64 from i >= 8). The split-fold must run
+    for the wide family, match a pure-Python reference of the same
+    Carter-Wegman fold, and leave mh_0..mh_7 identical to the default
+    8-hash family (the oracle-pinned signatures)."""
+    import hashlib
+
+    from movie_etl_spark.operators.dedup import _MASK60, minhash_signatures
+
+    wide = {r.doc_id: r for r in minhash_signatures(
+        docs, "text", "doc_id", num_hashes=16
+    ).collect()}
+    base = {r.doc_id: r for r in minhash_signatures(
+        docs, "text", "doc_id"
+    ).collect()}
+    for did in base:
+        for i in range(8):
+            assert wide[did][f"mh_{i}"] == base[did][f"mh_{i}"]
+
+    # pure-Python reference over the same shingle pipeline
+    import re
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+    doc0_text = docs.filter(F.col("doc_id") == 0).collect()[0].text
+    for did, text in [(0, doc0_text)]:
+        s = norm(text)
+        shingles = {s[o:o + 8] for o in range(0, max(len(s) - 7, 1), 4)}
+        expected = [None] * 16
+        for sh in shingles:
+            h = hashlib.md5(sh.encode()).hexdigest()
+            a = int(h[:15], 16)
+            b = int(h[16:31], 16) | 1
+            for i in range(16):
+                v = (a + (i * b) % (1 << 60)) & _MASK60
+                if expected[i] is None or v < expected[i]:
+                    expected[i] = v
+        for i in range(16):
+            assert wide[did][f"mh_{i}"] == expected[i], f"mh_{i} mismatch"
+
+
 def test_minhash_boilerplate_corpus_is_linear(spark):
     """10k identical docs — the degenerate case that used to make one LSH
     band bucket quadratic. With exact-fingerprint collapse they produce

@@ -70,6 +70,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    from movie_etl_spark.operators.dedup import release_indexes
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
@@ -81,13 +83,15 @@ def main() -> int:
             df = fn(spark, sf_dir)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
-            from movie_etl_spark.operators.dedup import release_indexes
-
-            release_indexes()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # release persisted inverted-index caches on BOTH paths — a
+            # failed query must not leave its index pinned in executor
+            # storage for the rest of the session
+            release_indexes()
         if name not in oracles:
             print(f"rows  {name}: {len(rows)} rows (rows-only check) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
