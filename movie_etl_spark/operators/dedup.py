@@ -162,10 +162,23 @@ def near_dup_pairs_minhash(
     be a checkpointed/bucketed table. Callers release the cache via
     :func:`release_indexes`.
     """
-    fp = df.select(F.col(id_col), doc_fingerprint(text_col).alias("_fp"))
-    groups = fp.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
+    # the (id, fingerprint) frame is tiny (two columns) but its lineage
+    # is a full-corpus normalize+md5 scan — persist it ONCE and derive
+    # groups, star pairs AND the representative id set from the same
+    # materialization (unpersisted, Spark recomputed the md5 pass for
+    # every consumer: the r3 bench charged dd3 ~1s for the duplicated
+    # scans). Released with the shingle index via release_indexes().
+    fp = _persist(
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("_fp"))
+    )
+    groups = fp.groupBy("_fp").agg(
+        F.min(id_col).alias("_rep"), F.count("*").alias("_nfp")
+    )
+    # star pairs exist only for fingerprints with >1 member: joining fp
+    # against the (usually tiny, AQE-broadcastable) duplicate-group set
+    # instead of every group keeps the hash side minimal
     exact_pairs = (
-        fp.join(groups, "_fp")
+        fp.join(groups.filter(F.col("_nfp") > 1).select("_fp", "_rep"), "_fp")
         .filter(F.col(id_col) > F.col("_rep"))
         .select(
             F.col("_rep").alias("id_a"),
@@ -177,7 +190,16 @@ def near_dup_pairs_minhash(
         groups.select(F.col("_rep").alias(id_col)), [id_col], "left_semi"
     )
     sh = _persist(_shingle_rows(reps, text_col, id_col, shingle_k, shingle_stride))
-    sigs = _signatures_from_shingles(sh, id_col, num_hashes)
+    # ONE aggregation over the (large) shingle index yields signatures
+    # AND per-doc sizes; persisting the tiny per-doc result lets the
+    # band projection and both size joins reuse it instead of
+    # re-aggregating sh per consumer (two extra shuffles in r3)
+    sigs = _persist(
+        sh.groupBy(id_col).agg(
+            *[_minhash_expr(i) for i in range(num_hashes)],
+            F.count("*").alias("n_shingles"),
+        )
+    )
     n_bands = num_hashes // band_size
     bands = sigs.select(
         F.col(id_col),
@@ -224,7 +246,7 @@ def near_dup_pairs_minhash(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sizes = sigs.select(id_col, "n_shingles")
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("a"))
     inter = (
@@ -373,7 +395,11 @@ def embedding_near_dup_pairs(
     driver corpus: 4-bit bands -> 28.5k candidates, 6-bit -> 7.6k) at
     the price of recall for low-similarity pairs; at cosine >= 0.9 the
     per-bit agreement probability (1 - theta/pi ~ 0.86) keeps 6-bit
-    band recall high.
+    band recall high. Measured, not argued: on a constructed clustered
+    corpus (50 clusters x 4 copies, 32 dims, 300 true pairs at
+    cosine >= 0.9) the 6-bit bands recover 300/300 pairs — recall 1.0
+    (tests/test_text_dedup.py::
+    test_embedding_near_dup_recall_on_clustered_corpus).
     """
     from movie_etl_spark.functions.vectors import cosine_from_norms, l2_norm
 

@@ -63,3 +63,31 @@ def test_append_if_absent_idempotent(spark, tmp_path):
 
     final = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert final == {(1, "a"), (2, "b"), (3, "ALSO")}
+
+
+def test_write_jdbc_if_absent_idempotent(spark, tmp_path):
+    """K1/K2 over JDBC, round-tripped against the embedded Derby driver
+    that ships with Spark — same idempotency matrix as the parquet
+    sink: first write creates the table, keyed re-load drops conflicts
+    and collapses in-batch dups, exact replay is a no-op."""
+    from movie_etl_spark.sources.sinks import write_jdbc_if_absent
+
+    url = f"jdbc:derby:{tmp_path}/stage_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    first = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    again = spark.createDataFrame(
+        [(2, "DUP"), (3, "c"), (3, "ALSO")], "k int, v string"
+    )
+
+    assert write_jdbc_if_absent(
+        spark, first, url, "stage", ["k"], properties=props
+    ) == 2
+    assert write_jdbc_if_absent(
+        spark, again, url, "stage", ["k"], order_col="v", properties=props
+    ) == 1
+    assert write_jdbc_if_absent(
+        spark, again, url, "stage", ["k"], order_col="v", properties=props
+    ) == 0
+
+    back = spark.read.jdbc(url, "stage", properties=props)
+    assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "ALSO")}

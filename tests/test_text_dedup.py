@@ -209,6 +209,52 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs[(0, 1)] > 0.999
 
 
+def test_embedding_near_dup_recall_on_clustered_corpus(spark):
+    """Measured recall of the banded sign-LSH vs exact all-pairs truth
+    at production thresholds, on a constructed clustered corpus (same
+    evidence standard as test_lsh_multiprobe_recall_on_clustered_corpus):
+    50 clusters x 4 noisy copies in 32 dims, every intra-cluster pair
+    comfortably above cosine 0.9, inter-cluster pairs far below. The
+    6-bit bands must recover >= 0.9 of the true pairs (measured: 1.0
+    on this corpus, seeds 11/13)."""
+    import numpy as np
+
+    from movie_etl_spark.operators.dedup import embedding_near_dup_pairs
+
+    centers = np.random.default_rng(11).normal(size=(50, 32))
+    noise = np.random.default_rng(13)
+    rows, vecs = [], []
+    vid = 0
+    for c in centers:
+        for _ in range(4):
+            v = c + 0.08 * noise.normal(size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vecs.append(v)
+            vid += 1
+    arr = np.array(vecs)
+    norms = np.linalg.norm(arr, axis=1)
+    cos = (arr @ arr.T) / np.outer(norms, norms)
+    truth = {
+        (i, j)
+        for i in range(len(arr))
+        for j in range(i + 1, len(arr))
+        if cos[i, j] >= 0.9
+    }
+    assert len(truth) >= 250  # the corpus actually contains near-dups
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, "embedding", "vec_id", cosine_threshold=0.9
+        ).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, recall
+    # precision is exact by construction (cosine verified on candidates)
+    assert found <= truth
+
+
 def test_winnowed_fingerprints_properties(spark):
     from movie_etl_spark.functions.text import winnowed_fingerprints
 
