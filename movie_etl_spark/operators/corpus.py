@@ -21,6 +21,7 @@ from movie_etl_spark.functions.text import (
     punct_ratio,
     stopword_ratio,
     token_count,
+    tokens,
 )
 
 
@@ -160,6 +161,151 @@ def stratified_sample(
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
     return df.filter(bucket < rate * n_buckets)
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 use these as hard filters; emitted here as metrics so
+    downstream stages re-threshold without recomputing):
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (type-token-ratio
+      complement) — catches word-level loops.
+    - ``dup_line_frac``: 1 - distinct/total non-empty lines — catches
+      boilerplate line repetition (0.0 for single-line docs).
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigram occurrences — catches phrase loops that unigram
+      stats miss (0.0 when fewer than 2 tokens).
+
+    Scale: the two fraction columns are pure JVM expressions (no
+    shuffle); the bigram mode needs one explode + two aggregations on
+    (doc, gram) — the same inverted-gram shape as dd4, partial-agg
+    friendly, never a window.
+    """
+    toks = tokens(text_col)
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_tk"),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                1 - F.size(F.array_distinct(toks)) / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.when(
+                F.size(lines) > 0,
+                1 - F.size(F.array_distinct(lines)) / F.size(lines),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_frac"),
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            # guarded: sequence() DESCENDS when start > stop, so short
+            # docs must yield an empty array, not sequence(0, -1)
+            F.when(
+                F.size("_tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - 2),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("_c") / F.sum("_c"), 6).alias("top_bigram_frac")
+        )
+    )
+    return (
+        base.drop("_tk")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            "dup_token_frac",
+            "dup_line_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_shared: int = 1,
+    max_gram_bench_df: int = 1000,
+) -> DataFrame:
+    """Benchmark contamination scan: which training documents share at
+    least ``min_shared`` distinct word ``n``-grams with which benchmark
+    documents — the decontamination step every serious eval story needs
+    (GPT-3 appendix C / PaLM use 8-13 gram collision, hence the n=8
+    default; the catalog query uses n=3 against the tiny-vocabulary
+    synthetic corpus).
+
+    Returns (train id aliased ``doc_id``, ``bench_id``, ``n_shared``).
+
+    Scale design — the benchmark side is SMALL (evals are thousands of
+    docs, the corpus is billions), so this is an inverted-index
+    broadcast shape: distinct grams per bench doc, df-capped at
+    ``max_gram_bench_df`` (a gram in more bench docs than the cap is
+    boilerplate that would fan out quadratically and implicates nothing
+    specific), joined against the train grams on the 60-bit int gram
+    key, one partial-agg count per (train, bench) pair. Never an
+    all-pairs compare; train text is scanned once.
+    """
+    def grams_of(df: DataFrame, out_id: str) -> DataFrame:
+        tk = tokens(text_col)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(
+                    # guarded: sequence() DESCENDS when start > stop
+                    F.when(
+                        F.size(tk) >= n,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(tk) - n),
+                            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                )
+            ).alias("_g"),
+        ).select(
+            out_id,
+            F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gram"),
+        )
+
+    bg = grams_of(bench, "bench_id")
+    over = (
+        bg.groupBy("gram")
+        .agg(F.countDistinct("bench_id").alias("_bdf"))
+        .filter(F.col("_bdf") > max_gram_bench_df)
+        .select("gram")
+    )
+    bg = bg.join(over, "gram", "left_anti")
+    tg = grams_of(train, id_col)
+    return (
+        tg.join(bg, "gram")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def pack_sequences(

@@ -771,10 +771,10 @@ def q_dd2_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(d, "text", "doc_id")
 
 
-@register(
-    "dd3_minhash_near_dups",
-    f"""
-    WITH fps AS (SELECT doc_id, md5({_SQL_NORM}) AS fpv FROM documents),
+# dd3's oracle as a reusable CTE body ending in `pairs` — dd7's
+# connected-components oracle builds its edge list from the same CTEs
+_SQL_DD3_PAIRS_CTES = f"""
+    fps AS (SELECT doc_id, md5({_SQL_NORM}) AS fpv FROM documents),
     grp AS (SELECT fpv, min(doc_id) AS rep FROM fps GROUP BY fpv),
     exact_pairs AS (
       SELECT g.rep AS id_a, f.doc_id AS id_b,
@@ -812,15 +812,25 @@ def q_dd2_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sh sa ON sa.doc_id = c.id_a
       JOIN sh sb ON sb.doc_id = c.id_b AND sb.a = sa.a
       GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b, jaccard FROM exact_pairs
+      UNION ALL
+      SELECT i.id_a, i.id_b,
+             round(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.id_a
+      JOIN sizes nb ON nb.doc_id = i.id_b
+      WHERE round(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) >= 0.6
     )
-    SELECT id_a, id_b, jaccard FROM exact_pairs
-    UNION ALL
-    SELECT i.id_a, i.id_b,
-           round(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.id_a
-    JOIN sizes nb ON nb.doc_id = i.id_b
-    WHERE round(i.n_inter * 1.0 / (na.n + nb.n - i.n_inter), 6) >= 0.6
+"""
+
+
+@register(
+    "dd3_minhash_near_dups",
+    f"""
+    WITH {_SQL_DD3_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs
     """,
     doc="MinHash+LSH near-duplicate pairs, boilerplate-safe: exact-"
     "fingerprint collapse first (identical docs -> O(n) star pairs, one "
@@ -2282,6 +2292,132 @@ def q_t4_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"),
         token_count("text").alias("n_ws_tokens"),
     )
+
+
+@register(
+    "dd7_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SQL_DD3_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS id, cc.label
+      FROM cc JOIN edges e ON e.src = cc.id
+    )
+    SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id
+    """,
+    doc="connected components over the dd3 near-dup pairs -> per-doc "
+    "cluster_id (min id in component, the canonical survivor): pairwise "
+    "dedup output becomes keep/drop decisions — A~B and B~C collapse to "
+    "one survivor even though A~C was never emitted. Hash-min label "
+    "propagation, rounds = component diameter (stars/cliques: 2-3), "
+    "driver-side loop control only (operators.dedup.dup_clusters); the "
+    "oracle is the same fixpoint via DuckDB's recursive CTE",
+)
+def q_dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.dedup import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(d, "text", "doc_id")
+    return dup_clusters(pairs, d.select("doc_id"), "doc_id")
+
+
+@register(
+    "t5_repetition_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS tk,
+             list_filter(string_split(text, chr(10)),
+                         x -> length(trim(x)) > 0) AS lines
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             round(CASE WHEN len(tk) > 0
+               THEN 1.0 - len(list_distinct(tk)) * 1.0 / len(tk)
+               ELSE 0.0 END, 6) AS dup_token_frac,
+             round(CASE WHEN len(lines) > 0
+               THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+               ELSE 0.0 END, 6) AS dup_line_frac
+      FROM toks
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, len(tk) - 1),
+               i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS gram
+      FROM toks WHERE len(tk) >= 2
+    ),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.dup_token_frac, b.dup_line_frac,
+           coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM base b LEFT JOIN top t USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality signals (Rae et al. 2021 "
+    "§A1.1): duplicate-token fraction, duplicate-line fraction, and "
+    "most-frequent-bigram coverage per document. The fractions are pure "
+    "JVM expressions; the bigram mode is one explode + two partial-agg "
+    "aggregations, never a window (operators.corpus.repetition_metrics)",
+)
+def q_t5_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.corpus import repetition_metrics
+    from movie_etl_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return repetition_metrics(d, "text", "doc_id")
+
+
+@register(
+    "cc1_contamination_check",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               CASE WHEN len(tk) >= 3 THEN range(0, len(tk) - 2)
+                    ELSE [] END,
+               i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))) AS gram
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gram
+      FROM g0
+    ),
+    bench AS (SELECT * FROM grams WHERE doc_id % 50 = 0),
+    train AS (SELECT * FROM grams WHERE doc_id % 50 <> 0),
+    okg AS (
+      SELECT gram FROM bench
+      GROUP BY gram HAVING count(DISTINCT doc_id) <= 1000
+    ),
+    b2 AS (SELECT b.* FROM bench b JOIN okg USING (gram))
+    SELECT t.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+    FROM train t JOIN b2 b ON t.gram = b.gram
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+    doc="benchmark decontamination scan: training docs sharing >= 3 "
+    "distinct word 3-grams with a held-out benchmark set (every 50th "
+    "doc plays the benchmark here; production uses 8-13-gram collision "
+    "per GPT-3 appendix C). Inverted-index join on 60-bit int gram "
+    "keys with a benchmark-side df cap — never an all-pairs compare "
+    "(operators.corpus.contamination_check)",
+)
+def q_cc1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.corpus import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_check(train, bench, "text", "doc_id", n=3, min_shared=3)
 
 
 # ---------------------------------------------------------------------------

@@ -57,6 +57,74 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert got[lid] == want, (lid, got[lid], want)
 
 
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # short words + spaces: varied token counts
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(texts=_texts, budget=st.integers(min_value=1, max_value=20))
+@_settings
+def test_pack_sequences_matches_bruteforce(spark, texts, budget):
+    """pack_id must equal the single-threaded greedy reference:
+    exclusive running token count div budget, docs in id order — pack
+    boundaries (doc straddling a boundary, zero-token docs, budget
+    smaller than one doc) are where the prefix-sum arithmetic can slip."""
+    from movie_etl_spark.operators.corpus import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id)
+        for r in pack_sequences(df, "text", "doc_id", budget_tokens=budget).collect()
+    }
+    run = 0
+    for i, t in rows:
+        n = len([w for w in t.split() if w])
+        assert got[i] == (n, run // budget), (i, got[i], (n, run // budget))
+        run += n
+
+
+@given(texts=_texts, k=st.integers(min_value=1, max_value=6))
+@_settings
+def test_length_buckets_matches_ntile(spark, texts, k):
+    """length_bucket must be bit-identical to NTILE(k) ORDER BY
+    (n_tokens, id): the explicit first-(total%k)-buckets-take-the-extra
+    arithmetic has off-by-one territory at total < k, total % k == 0,
+    and all-ties corpora."""
+    from movie_etl_spark.operators.corpus import length_buckets
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.length_bucket)
+        for r in length_buckets(df, "text", "doc_id", n_bucket=k).collect()
+    }
+    # brute-force NTILE: rank rows by (n_tokens, id), first total%k
+    # buckets get ceil(total/k) rows, the rest floor(total/k)
+    counts = sorted(
+        ((len([w for w in t.split() if w]), i) for i, t in rows)
+    )
+    total = len(counts)
+    big, small = total % k, total // k
+    bucket_of = {}
+    pos = 0
+    for b in range(1, k + 1):
+        size = small + 1 if b <= big else small
+        for _ in range(size):
+            if pos < total:
+                bucket_of[counts[pos][1]] = b
+                pos += 1
+    for i, t in rows:
+        n = len([w for w in t.split() if w])
+        assert got[i] == (n, bucket_of[i]), (i, got[i], (n, bucket_of[i]))
+
+
 @given(left=_rows, right=_rows, dur=st.integers(min_value=1, max_value=9))
 @_settings
 def test_interval_join_matches_bruteforce(spark, left, right, dur):

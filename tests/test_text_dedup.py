@@ -191,6 +191,84 @@ def test_simhash_properties(docs):
     assert 4 not in out and 5 not in out
 
 
+def test_dup_clusters_paths_agree(spark):
+    """Driver union-find and distributed hash-min propagation must
+    produce identical clusters — including a CHAIN component (A-B, B-C,
+    C-D: transitivity without direct pairs), a separate 2-cluster, and
+    singletons."""
+    from movie_etl_spark.operators.dedup import dup_clusters, release_indexes
+
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (5, 7), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
+    want = {r for r in range(13)}  # all nodes present
+
+    def run(threshold):
+        out = {
+            r.doc_id: r.cluster_id
+            for r in dup_clusters(
+                pairs, nodes, "doc_id", driver_cc_max_edges=threshold
+            ).collect()
+        }
+        release_indexes()
+        return out
+
+    driver, distributed = run(10**6), run(0)
+    assert driver == distributed
+    assert set(driver) == want
+    # chain collapses to min id 1; pair cluster to 10; rest singletons
+    assert driver[1] == driver[3] == driver[5] == driver[7] == 1
+    assert driver[10] == driver[11] == 10
+    assert all(driver[i] == i for i in (0, 2, 4, 6, 8, 9, 12))
+
+
+def test_repetition_metrics(spark):
+    from movie_etl_spark.operators.corpus import repetition_metrics
+
+    rows = [
+        (0, "a a a a"),                      # one token repeated
+        (1, "w x y z"),                      # all distinct
+        (2, "line one\nline one\nline two"), # duplicate line
+        (3, ""),                             # empty
+        (4, "solo"),                         # single token: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_metrics(df, "text", "doc_id").collect()}
+    assert out[0].dup_token_frac == 0.75          # 1 - 1/4
+    assert out[0].top_bigram_frac == 1.0          # "a a" is every bigram
+    assert out[1].dup_token_frac == 0.0
+    assert out[1].top_bigram_frac == round(1 / 3, 6)
+    assert out[2].dup_line_frac == round(1 - 2 / 3, 6)
+    assert out[3].dup_token_frac == 0.0 and out[3].top_bigram_frac == 0.0
+    assert out[4].top_bigram_frac == 0.0          # guarded short doc
+
+
+def test_contamination_check(spark):
+    from movie_etl_spark.operators.corpus import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "intro text then the quick brown fox jumps away"),  # 3 shared 3-grams
+            (1, "quick brown dog"),                                 # too short overlap
+            (2, "completely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.bench_id): r.n_shared
+        for r in contamination_check(
+            train, bench, "text", "doc_id", n=3, min_shared=2
+        ).collect()
+    }
+    # doc 0 shares "the quick brown", "quick brown fox", "brown fox jumps"
+    assert out == {(0, 100): 3}
+
+
 def test_embedding_near_dup_pairs(spark):
     from movie_etl_spark.operators.dedup import embedding_near_dup_pairs
 
