@@ -1,0 +1,119 @@
+"""PII detection and redaction (LLM-data-pipeline surface).
+
+A training-data pipeline must strip personally-identifiable strings
+before a corpus ships; the reference has no counterpart (its payloads
+are movie metadata), so this is an engine extension in the same family
+as the dedup/quality operators.
+
+Everything is regex-only and JVM-side (``regexp_count`` /
+``regexp_replace``) — no Python in the loop, so the scrub pipelines
+inside whole-stage codegen and scales linearly with input bytes.
+
+Engine-portability constraints (the oracle runs DuckDB/RE2, Spark runs
+Java regex):
+
+- patterns use only the Java-regex ∩ RE2 common subset: no lookaround,
+  no backreferences;
+- no alternations whose branches can match at the same position with
+  different lengths (Java is leftmost-FIRST, RE2 leftmost-LONGEST, so
+  such alternations would diverge between the engines);
+- greedy quantifiers only (identical semantics in both).
+
+Redaction is SEQUENTIAL and order matters (``REDACTION_ORDER``):
+
+- EMAIL first (its local part may contain digits a later phone pass
+  would otherwise eat);
+- SSN before PHONE (an SSN digit-run is also phone-shaped);
+- IPV4 before PHONE (disjoint today because the phone class has no
+  dots, ordered anyway so a future phone-pattern edit cannot silently
+  change semantics).
+
+Counts are per-PASS: each kind is counted on the text as it stands
+when that pass runs, i.e. exactly the number of redactions that pass
+performs. That makes ``sum(counts) == number of <TOKENS> inserted``, a
+property the tests assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: pattern per kind; see module docstring for the portability rules.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # any +?digit start, then >=7 of [digit space dash], digit end —
+    # deliberately broad (catches grouped national formats); bounded by
+    # the char class so it can never cross into words.
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+
+REDACTION_ORDER: tuple[str, ...] = ("email", "ssn", "ipv4", "phone")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _token(kind: str) -> str:
+    return f"<{kind.upper()}>"
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind redaction counts (sequential-pass semantics): returns
+    ``{kind: Column}`` where each count is evaluated on the text AFTER
+    all earlier passes in ``REDACTION_ORDER`` ran. One projection, no
+    shuffle."""
+    cur = _c(col)
+    out: dict[str, Column] = {}
+    for kind in REDACTION_ORDER:
+        pat = PII_PATTERNS[kind]
+        out[kind] = F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        cur = F.regexp_replace(cur, pat, _token(kind))
+    return out
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Text with every PII match replaced by its ``<KIND>`` token,
+    passes applied in ``REDACTION_ORDER``."""
+    cur = _c(col)
+    for kind in REDACTION_ORDER:
+        cur = F.regexp_replace(cur, PII_PATTERNS[kind], _token(kind))
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirrors (string builders used by the catalog entry).
+# DuckDB's regexp_replace needs the explicit 'g' flag to replace ALL
+# matches (Spark's replaces all by default).
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(pat: str) -> str:
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def sql_scrub_pii(expr: str, upto: int | None = None) -> str:
+    """DuckDB expression: ``expr`` after the first ``upto`` redaction
+    passes (all passes when ``upto`` is None)."""
+    kinds = REDACTION_ORDER[: len(REDACTION_ORDER) if upto is None else upto]
+    cur = expr
+    for kind in kinds:
+        cur = (
+            f"regexp_replace({cur}, {_sql_quote(PII_PATTERNS[kind])}, "
+            f"'{_token(kind)}', 'g')"
+        )
+    return cur
+
+
+def sql_pii_count(expr: str, kind: str) -> str:
+    """DuckDB expression mirroring ``pii_counts``[kind]: count of
+    ``kind`` matches on ``expr`` after all earlier passes ran."""
+    idx = REDACTION_ORDER.index(kind)
+    staged = sql_scrub_pii(expr, upto=idx)
+    return (
+        f"CAST(len(regexp_extract_all({staged}, "
+        f"{_sql_quote(PII_PATTERNS[kind])})) AS BIGINT)"
+    )

@@ -47,3 +47,28 @@ def cosine_from_norms(
     once per ROW, not once per PAIR."""
     denom = _c(norm_a) * _c(norm_b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def max_abs(a: Column | str) -> Column:
+    """Largest |element| as double (the symmetric-quantization range)."""
+    return F.array_max(F.transform(_c(a), lambda v: F.abs(v.cast("double"))))
+
+
+def int8_quantize(a: Column | str, scale: Column) -> Column:
+    """Symmetric int8 quantization: ``round(v / scale)`` per element
+    (scale = max_abs/127 puts every code in [-127, 127]). Row-local
+    projection — the 4x shrink this buys is exactly what makes a
+    100 TB embedding table shippable; both engines round half-away-
+    from-zero so codes are bit-identical cross-engine."""
+    return F.transform(
+        _c(a), lambda v: F.round(v.cast("double") / scale).cast("int")
+    )
+
+
+def dequant_sq_err(a: Column | str, q: Column, scale: Column) -> Column:
+    """Sum of squared reconstruction error between the original vector
+    and ``q * scale`` (ordered fold, cross-engine deterministic)."""
+    diffs = F.zip_with(
+        _c(a), q, lambda v, c: v.cast("double") - c.cast("double") * scale
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)

@@ -365,3 +365,128 @@ def length_buckets(
     return ranked.select(
         id_col, "n_tokens", bucket.cast("int").alias("length_bucket")
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 5,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
+    dedup step): a LINE that appears in >= ``min_docs`` DISTINCT
+    documents is boilerplate (nav bars, cookie banners, license
+    footers) and is stripped from every document; the survivors are
+    reassembled in original order.
+
+    Returns one row per input document: ``(id, n_lines_kept,
+    n_lines_removed, clean_text)``.
+
+    Scale design (the whole point of this operator is that it is
+    corpus-global):
+
+    - lines shuffle by their full md5 hex (32 bytes) rather than the
+      raw line text, so the frequency shuffle is fixed-width no matter
+      how long lines are; md5-128 keeps collisions negligible at
+      trillions of lines (a 60-bit prefix would NOT);
+    - the frequent-line set is aggregated FIRST (count-distinct with
+      partial aggregation) and only then joined back — it is tiny
+      relative to the corpus by construction (it's the lines that
+      repeat), so AQE turns the join into a broadcast; no hint is
+      forced so a pathological corpus (everything boilerplate) degrades
+      to a sort-merge join instead of an executor OOM;
+    - reassembly is ONE groupBy(id) with collect_list + array_sort —
+      per-document state, never a global window.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(line_sep))).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_lk", F.md5("_line"))
+    freq = (
+        lines.groupBy("_lk")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_lk")
+        .withColumn("_bp", F.lit(True))
+    )
+    flagged = lines.join(freq, "_lk", "left").withColumn(
+        "_bp", F.coalesce(F.col("_bp"), F.lit(False))
+    )
+    kept_sorted = F.transform(
+        F.filter(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_line"), F.col("_bp")))
+            ),
+            lambda s: ~s["_bp"],
+        ),
+        lambda s: s["_line"],
+    )
+    return flagged.groupBy(id_col).agg(
+        F.sum(F.when(~F.col("_bp"), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("_bp"), 1).otherwise(0)).alias("n_lines_removed"),
+        F.array_join(kept_sorted, line_sep).alias("clean_text"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based dataset mixing (the multilingual-sampling rule
+    of mBERT/XLM-R, alpha = 1/T): stratum ``s`` with ``n_s`` rows gets
+    sampling weight ``n_s**alpha``, renormalized so the EXPECTED total
+    kept is ``target_frac`` of the corpus; per-stratum keep probability
+    ``p_s = min(1, target_frac * N * w_s / (W * n_s))`` (capped — a
+    rare stratum cannot be sampled above 1.0; the realized total then
+    undershoots the target, the standard behavior). alpha < 1 upsamples
+    rare strata relative to proportional sampling; alpha = 1 IS
+    proportional sampling.
+
+    Row selection is the deterministic id-hash uniform (md5 prefix /
+    16^6), so the mix is reproducible and monotone in ``target_frac``
+    like :func:`stratified_sample`.
+
+    Scale: one partial-agg count per stratum (stratum cardinality rows
+    — broadcastable by construction), one cross join against a 1-row
+    total, one broadcast join back, then a projection filter. The big
+    side never shuffles.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    w = counts.withColumn("_w", F.pow(F.col("_n"), F.lit(alpha)))
+    # NB: totals must not differ from the per-stratum names only by
+    # case (_N vs _n) — Spark resolution is case-insensitive
+    tot = w.agg(
+        F.sum("_n").cast("double").alias("_tot_n"),
+        F.sum("_w").alias("_tot_w"),
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_p",
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac)
+                * F.col("_tot_n")
+                * F.col("_w")
+                / (F.col("_tot_w") * F.col("_n")),
+            ),
+        )
+        .select(stratum_col, "_p")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        / F.lit(float(16**6))
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(u < F.col("_p"))
+        .withColumn("sample_rate", F.round(F.col("_p"), 9))
+        .drop("_p")
+    )

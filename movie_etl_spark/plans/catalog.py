@@ -1527,9 +1527,12 @@ def q_a4_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_staging_dir(sf_dir: str, variant: str = "events") -> str:
-    """Staging directory for the streaming queries, keyed on a content
-    fingerprint (file sizes + mtimes) of the source events.parquet so
+def _events_staging_dir(
+    sf_dir: str, variant: str = "events", table: str = "events"
+) -> str:
+    """Staging directory for queries that re-materialize a source table
+    (streaming reads, format round-trips), keyed on a content
+    fingerprint (file sizes + mtimes) of the source parquet so
     regenerated testdata invalidates the staged copy automatically.
     (Previously keyed on the sf basename only: regenerating the table
     at the same path silently served stale events to the streams while
@@ -1538,7 +1541,7 @@ def _events_staging_dir(sf_dir: str, variant: str = "events") -> str:
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     try:
         paths = [src] if os.path.isfile(src) else [
             os.path.join(src, p) for p in sorted(os.listdir(src))
@@ -2421,6 +2424,258 @@ def q_cc1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (functions/pii.py). The fixture corpus carries no PII, so
+# the query ENRICHES each document with synthetic, doc_id-derived PII
+# (identically in both engines) before scrubbing — the redaction passes
+# run against real matches, not vacuously against zero.
+# ---------------------------------------------------------------------------
+
+_SQL_PII_ENRICHED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 867 5309' ELSE '' END"
+)
+
+
+def _pii_oracle_sql() -> str:
+    from movie_etl_spark.functions.pii import sql_pii_count, sql_scrub_pii
+
+    counts = ",\n           ".join(
+        f"{sql_pii_count(_SQL_PII_ENRICHED, kind)} AS n_{kind}"
+        for kind in ("email", "ssn", "ipv4", "phone")
+    )
+    return f"""
+    SELECT doc_id,
+           {counts},
+           md5({sql_scrub_pii(_SQL_PII_ENRICHED)}) AS scrub_md5
+    FROM documents
+    """
+
+
+@register(
+    "pii1_pii_scrub",
+    _pii_oracle_sql(),
+    doc="PII detection + redaction over synthetic-enriched documents: "
+    "per-kind redaction counts (sequential-pass semantics) and the md5 "
+    "of the fully scrubbed text. Pure regexp_count/regexp_replace "
+    "projection — JVM-side, no shuffle, patterns restricted to the "
+    "Java-regex ∩ RE2 portable subset (functions.pii)",
+)
+def q_pii1_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.pii import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" ip 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" call +1 555 867 5309")).otherwise(F.lit("")),
+    )
+    counts = pii_counts(enriched)
+    return docs.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in ("email", "ssn", "ipv4", "phone")],
+        F.md5(scrub_pii(enriched)).alias("scrub_md5"),
+    )
+
+
+@register(
+    "bp1_boilerplate_lines",
+    """
+    WITH chunked AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT) AS nl
+      FROM documents WHERE length(text) > 0
+    ), pos AS (
+      SELECT doc_id, toks, unnest(range(0, nl)) AS i FROM chunked
+    ), lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[i*10+1 : i*10+10], ' ') AS line
+      FROM pos
+    ), freq AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS bp
+      FROM lines l LEFT JOIN freq f ON l.line = f.line
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE NOT bp) AS BIGINT) AS n_lines_kept,
+           CAST(count(*) FILTER (WHERE bp) AS BIGINT) AS n_lines_removed,
+           md5(coalesce(
+             array_to_string(list(line ORDER BY pos ASC)
+                             FILTER (WHERE NOT bp), chr(10)), ''))
+             AS clean_md5
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="corpus-frequency boilerplate removal (CCNet/RefinedWeb line "
+    "dedup): a line present in >= 2 distinct documents is stripped "
+    "everywhere, survivors reassembled in order. The fixture has no "
+    "newlines, so documents are chunked into 10-token lines first "
+    "(identically in both engines). Lines shuffle by fixed-width md5, "
+    "frequent-set aggregated before the join-back "
+    "(operators.corpus.remove_boilerplate_lines)",
+)
+def q_bp1_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    chunked = docs.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("text2")
+    )
+    out = remove_boilerplate_lines(chunked, "text2", "doc_id", min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        "n_lines_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@register(
+    "v4_embedding_quantize",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               / 127.0 AS s
+      FROM embeddings
+    ), qq AS (
+      SELECT vec_id, e, s,
+             list_transform(e, x -> CAST(round(x / s) AS INT)) AS codes
+      FROM base WHERE s > 0
+    )
+    SELECT vec_id,
+           round(s, 9) AS q_scale,
+           round(sqrt(list_sum(list_transform(range(1, len(e) + 1),
+                 i -> (e[i] - codes[i]*s) * (e[i] - codes[i]*s)))
+                 / len(e)), 6) AS rmse,
+           md5(array_to_string(codes, ',')) AS codes_md5
+    FROM qq
+    """,
+    doc="symmetric int8 embedding quantization (scale = max|v|/127): "
+    "per-vector scale, reconstruction RMSE, and an md5 checksum of the "
+    "code array — the 4x shrink that makes a 100 TB embedding store "
+    "shippable. Row-local projection, no shuffle; zero vectors "
+    "filtered on both sides (functions.vectors.int8_quantize)",
+)
+def q_v4_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.vectors import (
+        dequant_sq_err,
+        int8_quantize,
+        max_abs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        (max_abs("embedding") / F.lit(127.0)).alias("_s"),
+    ).filter(F.col("_s") > 0)
+    q = int8_quantize("e", F.col("_s"))
+    withq = base.withColumn("codes", q)
+    err = dequant_sq_err("e", F.col("codes"), F.col("_s"))
+    return withq.select(
+        "vec_id",
+        F.round("_s", 9).alias("q_scale"),
+        F.round(F.sqrt(err / F.size("e")), 6).alias("rmse"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+            )
+        ).alias("codes_md5"),
+    )
+
+
+@register(
+    "cp6_temperature_mix",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 7 THEN 'head'
+                  WHEN doc_id % 10 < 9 THEN 'mid'
+                  ELSE 'tail' END AS stratum
+      FROM documents
+    ), c AS (
+      SELECT stratum, count(*) AS n FROM d GROUP BY stratum
+    ), w AS (
+      SELECT stratum, n, pow(n, 0.5) AS w FROM c
+    ), t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS N, sum(w) AS W FROM w
+    ), r AS (
+      SELECT stratum, least(1.0, 0.5 * t.N * w.w / (t.W * w.n)) AS p
+      FROM w, t
+    )
+    SELECT d.doc_id, d.stratum, round(r.p, 9) AS sample_rate
+    FROM d JOIN r USING (stratum)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+               AS BIGINT) / 16777216.0 < r.p
+    """,
+    doc="temperature-based dataset mixing (alpha = 1/T = 0.5, the "
+    "mBERT/XLM-R multilingual sampling rule) over a deterministic "
+    "70/20/10 skewed stratum: rare strata are upsampled relative to "
+    "proportional; row choice is the monotone id-hash uniform. One "
+    "stratum-count agg + broadcast join back — the corpus side never "
+    "shuffles (operators.corpus.temperature_mix)",
+)
+def q_cp6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.corpus import temperature_mix
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(did % 10 < 7, "head")
+        .when(did % 10 < 9, "mid")
+        .otherwise("tail")
+        .alias("stratum"),
+    )
+    out = temperature_mix(d, "stratum", "doc_id", alpha=0.5, target_frac=0.5)
+    return out.select("doc_id", "stratum", "sample_rate")
+
+
+@register(
+    "s6_jsonl_round_trip",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc="JSON-lines source round-trip: documents staged once as JSONL "
+    "(content-fingerprinted staging dir, same invalidation contract as "
+    "the streaming staging) and read back with an explicit schema — "
+    "oracle is the parquet original, so the query proves byte-exact "
+    "text/type fidelity through the JSON codec (§2.11 file sources)",
+)
+def q_s6_jsonl_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = _events_staging_dir(sf_dir, variant="jsonl-docs", table="documents")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        docs.write.mode("overwrite").json(staged)
+    return spark.read.schema(docs.schema).json(staged)
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
 # The round driver's correctness gate verifies only the FIRST 50 entries of
@@ -2464,15 +2719,18 @@ DRIVER_PRIORITY: list[str] = [
     "dd7_dup_clusters",
     "t5_repetition_quality",
     "cc1_contamination_check",
+    "pii1_pii_scrub",
+    "bp1_boilerplate_lines",
+    "v4_embedding_quantize",
+    "cp6_temperature_mix",
+    "s6_jsonl_round_trip",
     # -- representative veteran core (all driver-green in r3) ---------------
     "s1_discover",
     "c1_sentinel_project",
-    "c5_decode_map",
     "f1_magnitude_parse",
     "f7_date_functions",
     "j3_broadcast_dim_join",
     "j5_fact_fact_join",
-    "j1_semi_join",
     "d1_anti_join",
     "j4_hierarchy_closure",
     "f6_edge_builder",
@@ -2481,7 +2739,6 @@ DRIVER_PRIORITY: list[str] = [
     "o1_top_k",
     "w1_latest_order_per_customer",
     "set1_except",
-    "r4_group_collect",
     "t1_text_stats",
     "t2_language_id",
     "dd1_exact_dedup",
@@ -2493,8 +2750,6 @@ DRIVER_PRIORITY: list[str] = [
     "st1_windowed_counts",
     "st5_stream_stream_join",
     "mm1_multimodal_features",
-    "f9_html_extract",
-    "d4_merge_dedup",
 ]
 
 

@@ -1,0 +1,164 @@
+"""Tests for the PII scrub, boilerplate-removal, temperature-mix, and
+int8-quantization operators (round-4 LLM-pipeline additions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _scrub_one(spark, text: str) -> dict:
+    from movie_etl_spark.functions.pii import pii_counts, scrub_pii
+
+    df = spark.createDataFrame([(text,)], "text string")
+    counts = pii_counts("text")
+    row = df.select(
+        scrub_pii("text").alias("scrubbed"),
+        *[v.alias(k) for k, v in counts.items()],
+    ).collect()[0]
+    return row.asDict()
+
+
+def test_pii_scrub_each_kind(spark):
+    r = _scrub_one(
+        spark,
+        "mail a.b-c_1@ex-ample.co.uk, ssn 123-45-6789, "
+        "host 192.168.0.1, call +44 20 7946 0958 now",
+    )
+    assert r["scrubbed"] == (
+        "mail <EMAIL>, ssn <SSN>, host <IPV4>, call <PHONE> now"
+    )
+    assert (r["email"], r["ssn"], r["ipv4"], r["phone"]) == (1, 1, 1, 1)
+
+
+def test_pii_pass_order_ssn_wins_over_phone(spark):
+    # an SSN digit-run is phone-shaped; the SSN pass must claim it first
+    r = _scrub_one(spark, "id 123-45-6789 end")
+    assert r["scrubbed"] == "id <SSN> end"
+    assert r["ssn"] == 1 and r["phone"] == 0
+
+
+def test_pii_counts_equal_tokens_inserted(spark):
+    text = "a@b.io c@d.io 10.0.0.1 555 123 4567 123-45-6789 plain"
+    r = _scrub_one(spark, text)
+    inserted = sum(
+        r["scrubbed"].count(f"<{k.upper()}>")
+        for k in ("email", "ssn", "ipv4", "phone")
+    )
+    assert inserted == r["email"] + r["ssn"] + r["ipv4"] + r["phone"] == 5
+
+
+def test_pii_clean_text_untouched(spark):
+    text = "no personal data here, just words and the number 42"
+    r = _scrub_one(spark, text)
+    assert r["scrubbed"] == text
+    assert r["email"] == r["ssn"] == r["ipv4"] == r["phone"] == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    from movie_etl_spark.operators.corpus import remove_boilerplate_lines
+
+    footer = "all rights reserved"
+    rows = [
+        (1, f"alpha one\n{footer}\nbody of one"),
+        (2, f"beta two\n{footer}"),
+        (3, f"{footer}\ngamma three"),
+        (4, "no boilerplate at all"),
+        (5, footer),  # document that is ONLY boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=3
+        ).collect()
+    }
+    assert out[1].clean_text == "alpha one\nbody of one"  # order preserved
+    assert out[1].n_lines_kept == 2 and out[1].n_lines_removed == 1
+    assert out[2].clean_text == "beta two"
+    assert out[3].clean_text == "gamma three"
+    assert out[4].clean_text == "no boilerplate at all"
+    assert out[4].n_lines_removed == 0
+    assert out[5].clean_text == "" and out[5].n_lines_kept == 0
+    # below threshold: nothing removed
+    none = remove_boilerplate_lines(df, "text", "doc_id", min_docs=6).collect()
+    assert all(r.n_lines_removed == 0 for r in none)
+
+
+def test_temperature_mix_upsamples_rare_strata(spark):
+    from movie_etl_spark.operators.corpus import temperature_mix
+
+    # 9000 'web' vs 1000 'books'
+    df = spark.range(0, 10000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 = 0 THEN 'books' ELSE 'web' END AS stratum",
+    )
+    out = temperature_mix(df, "stratum", "doc_id", alpha=0.5, target_frac=0.3)
+    rates = {
+        r.stratum: r.rate
+        for r in out.groupBy("stratum").agg(F.max("sample_rate").alias("rate")).collect()
+    }
+    # alpha<1 upsamples the rare stratum relative to the common one
+    assert rates["books"] > rates["web"]
+    # proportional sampling (alpha=1) gives every stratum the same rate
+    prop = temperature_mix(df, "stratum", "doc_id", alpha=1.0, target_frac=0.3)
+    prates = {
+        r.stratum: round(r.rate, 9)
+        for r in prop.groupBy("stratum").agg(F.max("sample_rate").alias("rate")).collect()
+    }
+    assert prates["books"] == prates["web"] == 0.3
+    # realized total ~ target
+    n = out.count()
+    assert 0.25 * 10000 < n < 0.35 * 10000
+    # deterministic
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in temperature_mix(
+            df, "stratum", "doc_id", alpha=0.5, target_frac=0.3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_temperature_mix_caps_rate_at_one(spark):
+    from movie_etl_spark.operators.corpus import temperature_mix
+
+    # tiny stratum + strong temperature: uncapped rate would exceed 1
+    df = spark.range(0, 1010).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 10 THEN 'rare' ELSE 'big' END AS stratum",
+    )
+    out = temperature_mix(df, "stratum", "doc_id", alpha=0.1, target_frac=0.9)
+    rates = {r.stratum: r.sample_rate for r in out.collect()}
+    assert rates["rare"] == 1.0
+    # every rare row survives at rate 1.0
+    assert out.filter("stratum = 'rare'").count() == 10
+
+
+def test_int8_quantize_roundtrip(spark):
+    from movie_etl_spark.functions.vectors import (
+        dequant_sq_err,
+        int8_quantize,
+        max_abs,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, -0.5, 0.25, 0.0],), ([127.0, -64.0, 3.0, 0.0],)],
+        "vec array<double>",
+    )
+    base = df.select(
+        F.col("vec"), (max_abs("vec") / F.lit(127.0)).alias("s")
+    )
+    q = base.withColumn("codes", int8_quantize("vec", F.col("s")))
+    rows = q.withColumn(
+        "err", dequant_sq_err("vec", F.col("codes"), F.col("s"))
+    ).collect()
+    for r in rows:
+        assert max(abs(c) for c in r.codes) == 127  # max element hits full range
+        assert all(-127 <= c <= 127 for c in r.codes)
+        # reconstruction error bounded by (scale/2)^2 per element
+        assert r.err <= len(r.codes) * (r.s / 2) ** 2 + 1e-12
+    # exact representability: integer vector with max 127 -> scale 1.0,
+    # every element is a code, zero reconstruction error
+    exact = next(r for r in rows if max(r.vec) == 127.0)
+    assert exact.err == 0.0 and exact.codes == [127, -64, 3, 0]

@@ -91,3 +91,33 @@ def test_write_jdbc_if_absent_idempotent(spark, tmp_path):
 
     back = spark.read.jdbc(url, "stage", properties=props)
     assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "ALSO")}
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the remaining built-in columnar codec (§2.11 file
+    sources): schema + values must survive a write/read cycle."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, [1.0, 2.0]), (2, None, -0.25, [])],
+        "k int, v string, x double, vec array<double>",
+    )
+    path = str(tmp_path / "orc_rt")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted(
+        [(r.k, r.v, r.x, r.vec) for r in back.collect()]
+    ) == sorted([(r.k, r.v, r.x, r.vec) for r in df.collect()])
+
+
+def test_jsonl_round_trip_preserves_types(spark, tmp_path):
+    """JSON-lines write/read with an explicit schema is lossless for
+    the documents shape (the s6 catalog query's contract)."""
+    df = spark.createDataFrame(
+        [(1, 'tricky "quoted" \\ text', "en", "src0", 21), (2, "", None, "src1", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+    path = str(tmp_path / "jsonl_rt")
+    df.write.mode("overwrite").json(path)
+    back = spark.read.schema(df.schema).json(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
