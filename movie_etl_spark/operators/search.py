@@ -1,0 +1,78 @@
+"""Full-text relevance search (BM25) over the documents table.
+
+Engine extension (no reference counterpart — the reference's only text
+retrieval is exact-title lookup): keyword search with BM25 ranking is
+the standard "find the docs about X" primitive a corpus-curation
+pipeline needs (inspect near-dup clusters, pull eval slices, debug
+quality filters).
+
+Scale shape — an inverted-index query, never a scan-per-term:
+
+- the corpus is tokenized ONCE; the explode is filtered to the query
+  terms BEFORE the shuffle, so shuffle volume is O(matching tokens),
+  not O(corpus tokens);
+- document frequencies and the corpus stats (N, avgdl) are
+  aggregate-first tiny frames, broadcast back;
+- ties break on doc_id so top-k is deterministic cross-engine.
+
+Float portability: avgdl is an exact integer sum divided once (never a
+float running mean), idf/weights are identical double expressions in
+both engines, and the final score is rounded to 6dp before the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_etl_spark.functions.text import token_count, tokens
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` documents by BM25 (Robertson/Sparck Jones) for a
+    bag-of-words query: ``(id, bm25)`` sorted by rounded score desc,
+    id asc. ``idf = ln((N - df + .5)/(df + .5) + 1)`` (the Lucene
+    variant — always positive)."""
+    docs = df.select(
+        F.col(id_col), tokens(text_col).alias("_tk"),
+        token_count(text_col).alias("_dl"),
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        (F.sum("_dl").cast("double") / F.count("*")).alias("_avgdl"),
+    )
+    qterms = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        docs.select(
+            id_col,
+            "_dl",
+            F.explode(
+                F.filter(F.col("_tk"), lambda t: F.array_contains(qterms, t))
+            ).alias("term"),
+        )
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    w = idf * (F.col("_tf") * (k1 + 1.0)) / (
+        F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_w", w)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_w"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_k)

@@ -2675,6 +2675,149 @@ def q_s6_jsonl_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(docs.schema).json(staged)
 
 
+@register(
+    "v5_bm25_search",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ), dl AS (
+      SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM docs
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, dl, t.term, count(*) AS tf
+      FROM dl, LATERAL unnest(tk) AS t(term)
+      WHERE t.term IN ('spark', 'join', 'window')
+      GROUP BY doc_id, dl, t.term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT f.doc_id,
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (1.0 - 0.75 + 0.75 * f.dl / s.avgdl)) AS w
+      FROM tf f JOIN dfreq d USING (term), stats s
+    )
+    SELECT doc_id, round(sum(w), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+    doc="BM25 keyword search (Lucene idf variant, k1=1.2 b=0.75) for a "
+    "3-term query: inverted-index shape — explode filtered to query "
+    "terms BEFORE the shuffle, df/stats aggregate-first and broadcast, "
+    "deterministic tie-break, top-k via TakeOrderedAndProject "
+    "(operators.search.bm25_search)",
+)
+def q_v5_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.search import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(d, "text", "doc_id", ["spark", "join", "window"])
+
+
+@register(
+    "a7_time_rollup",
+    """
+    SELECT 'hour' AS gran, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'day' AS gran, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="hypertable-style multi-resolution time rollup (hour + day in "
+    "ONE scan): each row emits a (granularity, bucket) struct pair and "
+    "explodes, then one partial-agg groupBy — vs the oracle's "
+    "two-scan UNION ALL formulation, which doubles the 100 TB read. "
+    "DECIMAL-exact sums surfaced as DOUBLE",
+)
+def q_a7_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pairs = F.array(
+        F.struct(
+            F.lit("hour").alias("gran"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        ),
+        F.struct(
+            F.lit("day").alias("gran"),
+            F.date_trunc("day", F.col("ts")).alias("bucket"),
+        ),
+    )
+    return (
+        ev.select(F.explode(pairs).alias("p"), "event_type", "value")
+        .groupBy(
+            F.col("p.gran").alias("gran"),
+            F.col("p.bucket").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value", "sum_value"),
+        )
+    )
+
+
+@register(
+    "dd8_semantic_clusters",
+    f"""
+    WITH RECURSIVE bands AS ({_embedding_band_sql()}),
+    okb AS (
+      SELECT b.* FROM bands b
+      JOIN (SELECT band_idx, band_key FROM bands
+            GROUP BY band_idx, band_key HAVING count(*) <= 1000) f
+        ON f.band_idx = b.band_idx AND f.band_key = b.band_key
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM okb a JOIN okb b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      WHERE a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]), 6) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc AS (
+      SELECT vec_id AS id, vec_id AS label FROM embeddings
+      UNION
+      SELECT e.dst AS id, cc.label
+      FROM cc JOIN edges e ON e.src = cc.id
+    )
+    SELECT id AS vec_id, min(label) AS cluster_id FROM cc GROUP BY id
+    """,
+    doc="SemDeDup-style semantic dedup: connected components over the "
+    "dd6 embedding near-dup pairs -> (vec_id, cluster_id = min id in "
+    "component). Same bounded union-find / hash-min label propagation "
+    "as dd7 (operators.dedup.dup_clusters), pairs from the banded "
+    "sign-LSH + exact-verify pipeline — never all-pairs",
+)
+def q_dd8_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.dedup import (
+        dup_clusters,
+        embedding_near_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, "embedding", "vec_id", cosine_threshold=0.4)
+    return dup_clusters(
+        pairs, e.select("vec_id"), "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #
@@ -2724,13 +2867,14 @@ DRIVER_PRIORITY: list[str] = [
     "v4_embedding_quantize",
     "cp6_temperature_mix",
     "s6_jsonl_round_trip",
+    "v5_bm25_search",
+    "a7_time_rollup",
+    "dd8_semantic_clusters",
     # -- representative veteran core (all driver-green in r3) ---------------
     "s1_discover",
     "c1_sentinel_project",
-    "f1_magnitude_parse",
     "f7_date_functions",
     "j3_broadcast_dim_join",
-    "j5_fact_fact_join",
     "d1_anti_join",
     "j4_hierarchy_closure",
     "f6_edge_builder",
@@ -2740,7 +2884,6 @@ DRIVER_PRIORITY: list[str] = [
     "w1_latest_order_per_customer",
     "set1_except",
     "t1_text_stats",
-    "t2_language_id",
     "dd1_exact_dedup",
     "dd3_minhash_near_dups",
     "dd4_ngram_jaccard",

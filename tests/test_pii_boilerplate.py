@@ -162,3 +162,49 @@ def test_int8_quantize_roundtrip(spark):
     # every element is a code, zero reconstruction error
     exact = next(r for r in rows if max(r.vec) == 127.0)
     assert exact.err == 0.0 and exact.codes == [127, -64, 3, 0]
+
+
+def test_bm25_search_matches_reference(spark):
+    """BM25 scores must match a straight-line Python reference on a
+    toy corpus (Lucene idf variant, k1=1.2, b=0.75)."""
+    import math
+
+    corpus = {
+        1: "spark join spark window",
+        2: "join filter table",
+        3: "window window window spark",
+        4: "nothing relevant here",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id int, text string"
+    )
+    from movie_etl_spark.operators.search import bm25_search
+
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_search(
+            df, "text", "doc_id", ["spark", "join", "window"], top_k=10
+        ).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    toks = {k: v.split() for k, v in corpus.items()}
+    n_docs = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    dfreq = {
+        t: sum(1 for tk in toks.values() if t in tk)
+        for t in ("spark", "join", "window")
+    }
+    expect = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t in ("spark", "join", "window"):
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            expect[d] = round(s, 6)
+    assert got == expect
+    assert 4 not in got  # zero-score docs don't appear

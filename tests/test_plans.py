@@ -159,3 +159,27 @@ def test_driver_priority_window_covers_unverified_queries():
     # priority names that exist must lead the ordering verbatim
     expected_prefix = [n for n in DRIVER_PRIORITY if n in QUERIES]
     assert ordered[: len(expected_prefix)] == expected_prefix
+
+
+@needs_testdata
+def test_a7_rollup_is_one_scan_one_shuffle(spark):
+    """The multi-resolution rollup's reason to exist: hour+day in ONE
+    pass (explode of (gran, bucket) structs + a single partial-agg
+    groupBy). Two scans or two shuffles would double the 100 TB read —
+    exactly one Exchange, and it is the aggregation's."""
+    plan = _plan(spark, "a7_time_rollup")
+    assert plan.count("Exchange") == 1
+    assert "UnionExec" not in plan and "Union\n" not in plan
+
+
+@needs_testdata
+def test_bp1_frequent_set_join_is_broadcast_no_hint(spark):
+    """Boilerplate join-back must be a size-based broadcast (no forced
+    hint: a pathological all-boilerplate corpus degrades to sort-merge
+    instead of OOM)."""
+    from movie_etl_spark.plans.catalog import QUERIES
+
+    df = QUERIES["bp1_boilerplate_lines"].fn(spark, TESTDATA_SF0001)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    assert "BroadcastHashJoin" in _plan(spark, "bp1_boilerplate_lines")
