@@ -508,15 +508,21 @@ def dup_clusters(
     Both paths are equality-tested against each other
     (tests/test_text_dedup.py::test_dup_clusters_paths_agree).
     """
-    # persist the pair list FIRST: it is read at least twice (count +
-    # collect, or the undirected edge union), and without the persist
-    # each consumer re-runs the entire upstream dedup pipeline
-    # (measured ~2x the dd3 cost at sf0.1)
+    # persist the pair list FIRST: it is read at least twice (the
+    # bounded probe, then the large path's count/edge union — or the
+    # probe alone when it completes), and without the persist each
+    # consumer re-runs the entire upstream dedup pipeline (measured
+    # ~2x the dd3 cost at sf0.1)
     pairs = _persist(pairs.select(id_a, id_b))
-    n_edges = pairs.count()
     spark = pairs.sparkSession
+    # path probe: collect AT MOST bound+1 rows. If the limit truncates
+    # we know it's the large path (and n_edges only sizes the loop
+    # partitioning, so count() is deferred there); if it doesn't, the
+    # collected rows ARE the complete edge list — one job instead of a
+    # count() followed by a collect()
+    probe = pairs.limit(driver_cc_max_edges + 1).collect()
 
-    if n_edges <= driver_cc_max_edges:
+    if len(probe) <= driver_cc_max_edges:
         # bounded driver union-find (union-by-min + path compression)
         parent: dict = {}
 
@@ -528,7 +534,7 @@ def dup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in pairs.collect():
+        for r in probe:
             ra, rb = find(r[0]), find(r[1])
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
@@ -547,6 +553,7 @@ def dup_clusters(
             ),
         )
     else:
+        n_edges = pairs.count()
         edges = pairs.select(
             F.col(id_a).alias("src"), F.col(id_b).alias("dst")
         ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -2763,6 +2763,77 @@ def q_a7_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k8_incremental_watermark",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts > (SELECT max(ts) FROM events
+                WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+    """,
+    doc="X6 incremental load via high-water mark: rows strictly newer "
+    "than max(ts) of the already-staged window (here: events before "
+    "Jan 20 play the staged history). One broadcast aggregate row into "
+    "a filter — the scan-pruning complement to the K1/K2 anti-join "
+    "(operators.upsert.incremental_above_watermark)",
+)
+def q_k8_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.upsert import incremental_above_watermark
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    staged = events.filter(F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    return incremental_above_watermark(events, staged, "ts")
+
+
+@register(
+    "st6_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS mktsegment, c.c_nationkey AS nationkey
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    doc="stream-static dimension enrichment: a REAL availableNow stream "
+    "of events broadcast-joined per micro-batch against the static "
+    "customer dim — STATELESS (no watermark, no state store; the "
+    "missing streaming-join shape next to st5's stateful stream-stream "
+    "join). Oracle is the plain batch join, so every enriched row must "
+    "hash-match (streaming.events.enrich_stream)",
+)
+def q_st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from movie_etl_spark.streaming.events import enrich_stream
+
+    events = _t(spark, sf_dir, "events")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    staged = _events_staging_dir(sf_dir)  # shared with st3/st5
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(
+        spark.read.parquet(staged).schema
+    ).parquet(staged)
+    q = (
+        enrich_stream(stream, dim, on="user_id")
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            "mktsegment", "nationkey",
+        )
+        .writeStream.format("memory")
+        .queryName("st6_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("st6_enriched")
+
+
+@register(
     "dd8_semantic_clusters",
     f"""
     WITH RECURSIVE bands AS ({_embedding_band_sql()}),
@@ -2870,6 +2941,8 @@ DRIVER_PRIORITY: list[str] = [
     "v5_bm25_search",
     "a7_time_rollup",
     "dd8_semantic_clusters",
+    "st6_stream_static_join",
+    "k8_incremental_watermark",
     # -- representative veteran core (all driver-green in r3) ---------------
     "s1_discover",
     "c1_sentinel_project",
@@ -2879,7 +2952,6 @@ DRIVER_PRIORITY: list[str] = [
     "j4_hierarchy_closure",
     "f6_edge_builder",
     "a1_pricing_summary",
-    "a3_rollup",
     "o1_top_k",
     "w1_latest_order_per_customer",
     "set1_except",
@@ -2887,7 +2959,6 @@ DRIVER_PRIORITY: list[str] = [
     "dd1_exact_dedup",
     "dd3_minhash_near_dups",
     "dd4_ngram_jaccard",
-    "dd5_simhash",
     "v2_lsh_top_k",
     "v3_ivf_top_k",
     "st1_windowed_counts",

@@ -271,3 +271,19 @@ def stateful_user_counts(
         outputMode="update",
         timeoutConf=timeout_conf,
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a (possibly streaming)
+    event frame against a bounded static dim. STATELESS in streaming —
+    Spark re-plans the static side per micro-batch, no watermark and no
+    state store involved (unlike stream-stream joins), so this is the
+    cheapest streaming join shape and the first one to reach for.
+    The broadcast keeps the stream side shuffle-free: at 100 TB/day of
+    events a hash-partitioned join would reshuffle the entire stream
+    every micro-batch to co-locate with a dim that fits in memory."""
+    return events.join(F.broadcast(dim), on=on, how="inner")

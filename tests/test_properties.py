@@ -158,3 +158,74 @@ def test_interval_join_matches_bruteforce(spark, left, right, dur):
         if lg == rg and rs <= lt < re
     }
     assert got == want
+
+
+_pii_text = st.text(
+    alphabet=st.sampled_from(
+        list("abcDE0123456789 .@-+%_")
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(texts=st.lists(_pii_text, min_size=1, max_size=6))
+@_settings
+def test_pii_scrub_idempotent_and_clean(spark, texts):
+    """scrub(scrub(x)) == scrub(x), and a scrubbed text contains no
+    remaining match of any PII pattern under the sequential-pass
+    semantics (the <KIND> tokens carry no digits or @, so they can
+    never seed a new match)."""
+    from movie_etl_spark.functions.pii import pii_counts, scrub_pii
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = df.select(scrub_pii("text").alias("text"))
+    counts_after = once.select(
+        *[v.alias(k) for k, v in pii_counts("text").items()]
+    ).collect()
+    for r in counts_after:
+        assert r.email == r.ssn == r.ipv4 == r.phone == 0
+    twice = once.select(scrub_pii("text").alias("text"))
+    assert [r.text for r in twice.collect()] == [
+        r.text for r in once.collect()
+    ]
+
+
+_bp_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["aaa", "bbb", "ccc", "ddd", "eee"]),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_bp_corpus, min_docs=st.integers(min_value=2, max_value=4))
+@_settings
+def test_remove_boilerplate_matches_bruteforce(spark, docs, min_docs):
+    """remove_boilerplate_lines == the single-threaded reference:
+    count distinct docs per line, strip lines at/above the threshold,
+    preserve order."""
+    from movie_etl_spark.operators.corpus import remove_boilerplate_lines
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_lines_kept, r.n_lines_removed, r.clean_text)
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=min_docs
+        ).collect()
+    }
+    from collections import defaultdict
+
+    per_line_docs = defaultdict(set)
+    for i, lines in enumerate(docs):
+        for ln in lines:
+            per_line_docs[ln].add(i)
+    bp = {ln for ln, ds in per_line_docs.items() if len(ds) >= min_docs}
+    for i, lines in enumerate(docs):
+        kept = [ln for ln in lines if ln not in bp]
+        expect = (len(kept), len(lines) - len(kept), "\n".join(kept))
+        assert got[i] == expect

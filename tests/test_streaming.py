@@ -229,3 +229,77 @@ def test_stateful_user_counts_matches_batch(spark, tmp_path):
     for u, (n, total) in batch.items():
         sn, st = streamed[u]
         assert sn == n and abs(st - total) < 0.05
+
+
+def test_enrich_stream_equals_batch_join(spark, tmp_path):
+    """Stream-static dim enrichment: the streaming result must equal
+    the plain batch join (stateless — no watermark involved)."""
+    from movie_etl_spark.streaming.events import enrich_stream
+
+    events = spark.createDataFrame(
+        [(1, 10, "click"), (2, 11, "view"), (3, 99, "click"), (4, 10, "view")],
+        "event_id int, user_id int, event_type string",
+    )
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "silver")], "user_id int, tier string"
+    )
+    path = str(tmp_path / "ev")
+    events.write.parquet(path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    q = (
+        enrich_stream(stream, dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("enrich_t").collect()}
+    want = {tuple(r) for r in events.join(dim, "user_id").collect()}
+    assert got == want  # user 99 (no dim row) drops in both
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """Streaming -> K1/K2 bridge: a foreachBatch sink built on
+    append_if_absent stays exactly-once for the TABLE even when the
+    same micro-batch data is replayed (at-least-once delivery)."""
+    from movie_etl_spark.sources.sinks import append_if_absent
+
+    src_a = str(tmp_path / "src_a")
+    src_b = str(tmp_path / "src_b")
+    out = str(tmp_path / "out")
+    batch1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    )
+    batch1.write.parquet(src_a)
+    # replay batch1 rows + one new row in a second delivery
+    spark.createDataFrame(
+        [(1, "a"), (3, "c")], "k int, v string"
+    ).write.parquet(src_b)
+
+    def run(path):
+        stream = spark.readStream.schema(batch1.schema).parquet(path)
+        q = stream.writeStream.foreachBatch(
+            lambda df, epoch: append_if_absent(spark, df, out, ["k"])
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    run(src_a)
+    run(src_b)
+    back = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert back == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_incremental_above_watermark(spark):
+    from movie_etl_spark.operators.upsert import incremental_above_watermark
+
+    src = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "ts int, v double"
+    )
+    staged = src.filter("ts < 6")
+    new = incremental_above_watermark(src, staged, "ts")
+    assert sorted(r.ts for r in new.collect()) == [6, 7, 8, 9]
+    # strictness: empty staging -> NULL mark -> nothing loads
+    empty = src.filter("ts < 0")
+    assert incremental_above_watermark(src, empty, "ts").count() == 0
