@@ -2763,6 +2763,85 @@ def q_a7_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t6_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+           LATERAL unnest(tk) AS t(tok)
+    ), vocab AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM toks GROUP BY tok
+    ), total AS (
+      SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM vocab
+    ), per_tok AS (
+      SELECT doc_id, t.tok, count(*) AS tf
+      FROM toks t GROUP BY doc_id, t.tok
+    )
+    SELECT p.doc_id,
+           round(sum(p.tf * -ln(v.cnt / tt.n)) / sum(p.tf), 6)
+             AS mean_neg_logprob
+    FROM per_tok p JOIN vocab v USING (tok), total tt
+    GROUP BY p.doc_id
+    """,
+    doc="unigram log-probability quality score (the KenLM-perplexity "
+    "filter stand-in of CCNet): mean -ln p(token) under the corpus's "
+    "own unigram LM — high = surprising/rare-token text, low = "
+    "stereotyped. Aggregate-first vocab joined back on the token key "
+    "(partial-agg both sides); per-doc sum over integer tf counts "
+    "times a per-token constant, so the float work is one multiply "
+    "per DISTINCT token, not per occurrence",
+)
+def q_t6_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("_tk")
+    )
+    toks = docs.select("doc_id", F.explode("_tk").alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("_corpus_n"))
+    return (
+        per_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_w", F.col("tf") * -F.log(F.col("cnt") / F.col("_corpus_n")))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_w") / F.sum("tf"), 6).alias("mean_neg_logprob")
+        )
+    )
+
+
+@register(
+    "w3_event_gaps",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(date_diff('second',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                ts) AS BIGINT) AS gap_s
+    FROM events
+    """,
+    doc="lead/lag window: per-user seconds since the previous event "
+    "(NULL for each user's first). PARTITIONED window — state is one "
+    "row per user-partition, scales with users not corpus; the "
+    "remaining §2.11 window-function shape next to w1 (row_number) "
+    "and w2 (running frame)",
+)
+def q_w3_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+
+
+@register(
     "k8_incremental_watermark",
     """
     SELECT event_id, ts, user_id, event_type, value
@@ -2943,6 +3022,8 @@ DRIVER_PRIORITY: list[str] = [
     "dd8_semantic_clusters",
     "st6_stream_static_join",
     "k8_incremental_watermark",
+    "t6_unigram_logprob",
+    "w3_event_gaps",
     # -- representative veteran core (all driver-green in r3) ---------------
     "s1_discover",
     "c1_sentinel_project",
@@ -2953,14 +3034,12 @@ DRIVER_PRIORITY: list[str] = [
     "f6_edge_builder",
     "a1_pricing_summary",
     "o1_top_k",
-    "w1_latest_order_per_customer",
     "set1_except",
     "t1_text_stats",
     "dd1_exact_dedup",
     "dd3_minhash_near_dups",
     "dd4_ngram_jaccard",
     "v2_lsh_top_k",
-    "v3_ivf_top_k",
     "st1_windowed_counts",
     "st5_stream_stream_join",
     "mm1_multimodal_features",

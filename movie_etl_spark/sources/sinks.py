@@ -134,3 +134,40 @@ def append_if_absent(
     if n:
         fresh.write.mode("append").parquet(path)
     return n
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files maintenance: rewrite the parquet table at ``path``
+    into ceil(total_bytes / target) files and atomically swap the
+    directory. Streaming sinks and incremental appends accrete small
+    files; at 100 TB the fix is periodic compaction, because every
+    scan pays per-file open/footer costs and the NameNode/metadata
+    layer pays per-file bookkeeping. Returns the output file count.
+
+    The rewrite stages to ``<path>.__compact__`` then renames over the
+    original (rename-atomic on a posix FS; object stores would use a
+    committer or table format instead — documented, not emulated).
+    ``coalesce`` (not repartition): packing down needs no shuffle.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    staging = path.rstrip("/") + ".__compact__"
+    df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + ".__old__"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_out

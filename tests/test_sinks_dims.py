@@ -121,3 +121,23 @@ def test_jsonl_round_trip_preserves_types(spark, tmp_path):
     back = spark.read.schema(df.schema).json(path)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
+    from movie_etl_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # 16 tiny files
+    spark.range(0, 1600).repartition(16).write.parquet(path)
+    import os
+
+    def n_files(p):
+        return len([f for f in os.listdir(p) if f.endswith(".parquet")])
+
+    assert n_files(path) == 16
+    before = {r.id for r in spark.read.parquet(path).collect()}
+    out = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert out == 1 and n_files(path) == 1
+    assert {r.id for r in spark.read.parquet(path).collect()} == before
+    assert not os.path.exists(path + ".__compact__")
+    assert not os.path.exists(path + ".__old__")
