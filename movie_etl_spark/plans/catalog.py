@@ -1971,6 +1971,49 @@ def q_sk1_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sk2_salted_skew_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT l_linestatus,
+             'status_' || l_linestatus AS status_label
+      FROM lineitem
+    )
+    SELECT d.status_label,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem l JOIN dim d USING (l_linestatus)
+    GROUP BY d.status_label
+    """,
+    doc="skew-proof JOIN surfaced through the driver (sk1's other "
+    "half): lineitem's 2-value l_linestatus means EVERY join key is "
+    "hot; salting the fact side and exploding the tiny dim across the "
+    "salt range bounds each reducer, and with a broadcastable dim no "
+    "fact shuffle happens at all. Oracle = the plain join+group, which "
+    "must match whatever the salt assignment "
+    "(operators.skew.salted_broadcast_join)",
+)
+def q_sk2_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.skew import salted_broadcast_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        li.select("l_linestatus")
+        .distinct()
+        .withColumn(
+            "status_label", F.concat(F.lit("status_"), F.col("l_linestatus"))
+        )
+    )
+    joined = salted_broadcast_join(
+        li.select("l_linestatus", "l_quantity"), dim, "l_linestatus"
+    )
+    return joined.groupBy("status_label").agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("l_quantity", "sum_qty"),
+    )
+
+
+@register(
     "ap2_exact_percentile",
     """
     SELECT o_orderpriority AS priority,
@@ -3024,6 +3067,7 @@ DRIVER_PRIORITY: list[str] = [
     "k8_incremental_watermark",
     "t6_unigram_logprob",
     "w3_event_gaps",
+    "sk2_salted_skew_join",
     # -- representative veteran core (all driver-green in r3) ---------------
     "s1_discover",
     "c1_sentinel_project",
@@ -3035,7 +3079,6 @@ DRIVER_PRIORITY: list[str] = [
     "a1_pricing_summary",
     "o1_top_k",
     "set1_except",
-    "t1_text_stats",
     "dd1_exact_dedup",
     "dd3_minhash_near_dups",
     "dd4_ngram_jaccard",

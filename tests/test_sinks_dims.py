@@ -141,3 +141,19 @@ def test_compact_parquet_reduces_files_keeps_rows(spark, tmp_path):
     assert {r.id for r in spark.read.parquet(path).collect()} == before
     assert not os.path.exists(path + ".__compact__")
     assert not os.path.exists(path + ".__old__")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across appended batches: a later batch adds a
+    column; mergeSchema reads the union schema with NULLs backfilled —
+    the contract an accreting 100 TB table relies on when a new field
+    ships mid-stream."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, v string, score double"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "v", "score"}
+    rows = {r.k: (r.v, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
