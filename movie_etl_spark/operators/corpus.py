@@ -121,6 +121,14 @@ def _two_phase_prefix(
     # the cache serves the stats pass AND the output pass (one compute)
     local = cache_tracked(local)
     stats = {r["_pid"]: r for r in local.groupBy("_pid").agg(*aggs).collect()}
+    if not stats:
+        # empty input: no per-partition stats rows, so create_map()
+        # would be map<void,void> and fail analysis — the offsets are
+        # all zero anyway, so local numbering IS global numbering
+        out = local.withColumn("_rn", F.col("_lrn").cast("long"))
+        if sum_col is not None:
+            out = out.withColumn("_cum", F.col("_lcum"))
+        return out.drop("_pid", "_lrn", "_lcum"), 0, 0
     rn_off, cum_off, total_rows, total_sum = {}, {}, 0, 0
     for pid in sorted(stats):
         rn_off[pid], cum_off[pid] = total_rows, total_sum
