@@ -171,3 +171,17 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return n_out
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Hive-style partitioned parquet export (e.g. the train/val/test
+    shards of corpus.hash_split, or date partitions of an events
+    table). Directory layout IS the index: a reader filtering on a
+    partition column scans only matching directories (PartitionFilters
+    in the plan), which at 100 TB is the difference between reading
+    one split and reading the corpus."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -157,3 +157,28 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "score"}
     rows = {r.k: (r.v, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """The export path of corpus splits: writing partitioned by the
+    split column and reading one split back must plan a partition
+    filter (directory pruning), not a full scan + row filter."""
+    from movie_etl_spark.sources.sinks import write_partitioned
+
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 < 8 THEN 'train' WHEN id % 10 < 9 THEN 'val' "
+        "ELSE 'test' END AS split",
+    )
+    path = str(tmp_path / "shards")
+    write_partitioned(df, path, ["split"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("split=")
+    ) == ["split=test", "split=train", "split=val"]
+    back = spark.read.parquet(path).filter("split = 'val'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+    assert back.count() == 30
+    assert {r.doc_id % 10 for r in back.collect()} == {8}
