@@ -249,6 +249,42 @@ def repetition_metrics(
     )
 
 
+def word_gram_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    out_id: str | None = None,
+) -> DataFrame:
+    """Distinct word ``n``-grams per document as 60-bit md5-prefix int
+    keys: ``(out_id, gram)``. The shared gram-extraction step of
+    decontamination — public so a caller whose train and bench sides
+    come from the SAME scan can gram once, cache, and filter, instead
+    of exploding the corpus twice."""
+    out_id = out_id or id_col
+    tk = tokens(text_col)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array_distinct(
+                # guarded: sequence() DESCENDS when start > stop
+                F.when(
+                    F.size(tk) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(tk) - n),
+                        lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("_g"),
+    ).select(
+        out_id,
+        F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gram"),
+    )
+
+
 def contamination_check(
     train: DataFrame,
     bench: DataFrame,
@@ -257,6 +293,7 @@ def contamination_check(
     n: int = 8,
     min_shared: int = 1,
     max_gram_bench_df: int = 1000,
+    pre_grammed: bool = False,
 ) -> DataFrame:
     """Benchmark contamination scan: which training documents share at
     least ``min_shared`` distinct word ``n``-grams with which benchmark
@@ -275,31 +312,18 @@ def contamination_check(
     specific), joined against the train grams on the 60-bit int gram
     key, one partial-agg count per (train, bench) pair. Never an
     all-pairs compare; train text is scanned once.
-    """
-    def grams_of(df: DataFrame, out_id: str) -> DataFrame:
-        tk = tokens(text_col)
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(
-                F.array_distinct(
-                    # guarded: sequence() DESCENDS when start > stop
-                    F.when(
-                        F.size(tk) >= n,
-                        F.transform(
-                            F.sequence(F.lit(0), F.size(tk) - n),
-                            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
-                        ),
-                    ).otherwise(F.array().cast("array<string>"))
-                )
-            ).alias("_g"),
-        ).select(
-            out_id,
-            F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("gram"),
-        )
 
-    bg = grams_of(bench, "bench_id")
+    With ``pre_grammed=True``, ``train``/``bench`` are already
+    ``(id, gram)`` frames from :func:`word_gram_keys` (``bench``'s id
+    column must be named ``bench_id``) — the path for callers whose
+    two sides derive from one scan.
+    """
+    if pre_grammed:
+        bg = bench
+        tg = train
+    else:
+        bg = word_gram_keys(bench, text_col, id_col, n, out_id="bench_id")
+        tg = word_gram_keys(train, text_col, id_col, n)
     over = (
         bg.groupBy("gram")
         .agg(F.countDistinct("bench_id").alias("_bdf"))
@@ -307,7 +331,6 @@ def contamination_check(
         .select("gram")
     )
     bg = bg.join(over, "gram", "left_anti")
-    tg = grams_of(train, id_col)
     return (
         tg.join(bg, "gram")
         .groupBy(id_col, "bench_id")

@@ -2458,12 +2458,25 @@ def q_t5_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators.corpus.contamination_check)",
 )
 def q_cc1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from movie_etl_spark.operators.corpus import contamination_check
+    from movie_etl_spark.operators.corpus import (
+        contamination_check,
+        word_gram_keys,
+    )
+    from movie_etl_spark.session import cache_tracked
 
     d = _t(spark, sf_dir, "documents")
-    bench = d.filter(F.col("doc_id") % 50 == 0)
-    train = d.filter(F.col("doc_id") % 50 != 0)
-    return contamination_check(train, bench, "text", "doc_id", n=3, min_shared=3)
+    # both sides derive from ONE scan: gram the corpus once, cache the
+    # (doc, gram) index, split by id — halves the explode/hash work vs
+    # gramming train and bench separately (released by the session's
+    # release_indexes contract like the dedup indexes)
+    grams = cache_tracked(word_gram_keys(d, "text", "doc_id", n=3))
+    bench_g = grams.filter(F.col("doc_id") % 50 == 0).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    train_g = grams.filter(F.col("doc_id") % 50 != 0)
+    return contamination_check(
+        train_g, bench_g, "text", "doc_id", n=3, min_shared=3, pre_grammed=True
+    )
 
 
 # ---------------------------------------------------------------------------
