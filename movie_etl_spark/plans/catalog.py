@@ -2922,6 +2922,94 @@ def q_k8_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd9_dedup_apply",
+    f"""
+    WITH RECURSIVE {_SQL_DD3_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS id, cc.label
+      FROM cc JOIN edges e ON e.src = cc.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN clusters c USING (doc_id)
+    WHERE c.cluster_id = c.doc_id
+    """,
+    doc="dedup APPLIED end-to-end (the capstone of the dd family): "
+    "minhash pairs -> connected components -> keep only each "
+    "cluster's canonical survivor (cluster_id == doc_id) joined back "
+    "to the corpus — the actual deduplicated table a training run "
+    "reads, not just the pair/cluster diagnostics. The survivors "
+    "frame is corpus-sized minus dups; the join back is on the id "
+    "key (operators.dedup.dup_clusters + one semi-join)",
+)
+def q_dd9_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.dedup import dup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(d, "text", "doc_id")
+    clusters = dup_clusters(pairs, d.select("doc_id"), "doc_id")
+    survivors = clusters.filter(
+        F.col("cluster_id") == F.col("doc_id")
+    ).select("doc_id")
+    return d.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "f11_url_extract",
+    """
+    WITH enriched AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/p/' ||
+               CAST(doc_id AS VARCHAR) || '?ref=r' ||
+               CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+           count(*) AS n_urls,
+           count(DISTINCT regexp_extract(url, '\\?ref=(r[0-9]+)', 1))
+             AS n_refs
+    FROM enriched GROUP BY host
+    """,
+    doc="URL parsing + per-domain stats (the blocklist/quality-by-"
+    "domain step of a web-corpus pipeline): host and query-param "
+    "extraction via portable regexp (Spark parse_url has no DuckDB "
+    "twin, so the oracle-checkable form is the regex), one partial-agg "
+    "groupBy per host. URLs are synthesized deterministically from "
+    "doc_id+source like pii1's enrichment",
+)
+def q_f11_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    enriched = d.select("doc_id", url.alias("url"))
+    return enriched.groupBy(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host")
+    ).agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct(
+            F.regexp_extract("url", r"\?ref=(r[0-9]+)", 1)
+        ).alias("n_refs"),
+    )
+
+
+@register(
     "st6_stream_static_join",
     """
     SELECT e.event_id, e.user_id, e.event_type, e.value,
@@ -3081,6 +3169,8 @@ DRIVER_PRIORITY: list[str] = [
     "t6_unigram_logprob",
     "w3_event_gaps",
     "sk2_salted_skew_join",
+    "dd9_dedup_apply",
+    "f11_url_extract",
     # -- representative veteran core (all driver-green in r3) ---------------
     "s1_discover",
     "c1_sentinel_project",
@@ -3088,13 +3178,11 @@ DRIVER_PRIORITY: list[str] = [
     "j3_broadcast_dim_join",
     "d1_anti_join",
     "j4_hierarchy_closure",
-    "f6_edge_builder",
     "a1_pricing_summary",
     "o1_top_k",
     "set1_except",
     "dd1_exact_dedup",
     "dd3_minhash_near_dups",
-    "dd4_ngram_jaccard",
     "v2_lsh_top_k",
     "st1_windowed_counts",
     "st5_stream_stream_join",
