@@ -31,3 +31,12 @@ from movie_etl_spark.functions.vectors import (  # noqa: F401
     dot_product,
     l2_norm,
 )
+from movie_etl_spark.functions.pii import (  # noqa: F401
+    pii_counts,
+    scrub_pii,
+)
+from movie_etl_spark.functions.vectors import (  # noqa: F401
+    dequant_sq_err,
+    int8_quantize,
+    max_abs,
+)

@@ -35,3 +35,25 @@ from movie_etl_spark.operators.similarity import (  # noqa: F401
     brute_force_top_k,
     lsh_top_k,
 )
+from movie_etl_spark.operators.corpus import (  # noqa: F401
+    contamination_check,
+    hash_split,
+    pack_sequences,
+    quality_filter,
+    remove_boilerplate_lines,
+    temperature_mix,
+    word_gram_keys,
+)
+from movie_etl_spark.operators.dedup import (  # noqa: F401
+    dup_clusters,
+    embedding_near_dup_pairs,
+)
+from movie_etl_spark.operators.search import bm25_search  # noqa: F401
+from movie_etl_spark.operators.skew import (  # noqa: F401
+    salted_broadcast_join,
+    salted_count,
+)
+from movie_etl_spark.operators.upsert import (  # noqa: F401
+    incremental_above_watermark,
+    scd2_apply,
+)
