@@ -1,0 +1,112 @@
+"""Frequency analysis over huge-cardinality token streams.
+
+Engine extension (no reference equivalent — the reference has no corpus
+analytics at all; its closest analogue is counting credits per movie,
+`/root/reference/src/movie_etl/tasks/etl_task.py:155-172`). This module
+answers the vocabulary questions a training-data pipeline asks at
+100 TB: "what are the k most frequent tokens/n-grams?" when the number
+of DISTINCT tokens is itself too large to shuffle.
+
+The naive plan — explode → groupBy(token) → orderBy(count) → limit k —
+shuffles one row per DISTINCT token. At web scale that is billions of
+unique n-grams: the shuffle, not the scan, becomes the bottleneck.
+``heavy_hitters`` replaces it with the mergeable-summaries pattern
+(Agarwal et al., "Mergeable Summaries", PODS 2012):
+
+  phase 1  per-partition Misra–Gries sketch (bounded ``capacity``
+           counters) → candidate tokens only, O(capacity) rows per
+           partition instead of O(distinct) total;
+  phase 2  exact count of ONLY the candidates (broadcast semi-join
+           prune before the groupBy), then top-k.
+
+Misra–Gries guarantee: a per-partition sketch undercounts any token by
+at most N_p/capacity, so a token absent from EVERY partition's summary
+has global count ≤ N/capacity. Hence if the true k-th count exceeds
+N/capacity the candidate union provably contains the true top-k and the
+two-phase answer is EXACT. The operator verifies that bound at runtime
+and falls back to the full-cardinality groupBy when it fails (tiny or
+uniform corpora — exactly the regime where the full shuffle is cheap).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_etl_spark.functions.text import tokens
+
+
+def _tokens_df(df: DataFrame, text_col: str) -> DataFrame:
+    """Explode to one row per token (column ``tok``), empty-safe."""
+    return df.select(F.explode(tokens(text_col)).alias("tok"))
+
+
+def _mg_candidates(tok_df: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra–Gries candidates via mapInPandas.
+
+    The generator keeps ONE bounded dict per partition across Arrow
+    batches; each batch is folded in vectorized (value_counts + index
+    add), and the decrement step is the summary-merge form: subtract
+    the (capacity+1)-th largest count from everything and drop the
+    non-positives, which preserves the N_p/capacity error bound.
+    """
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = counts.add(pdf["tok"].value_counts(), fill_value=0)
+            if len(counts) > capacity:
+                kth = counts.nlargest(capacity + 1).iloc[-1]
+                counts = counts - kth
+                counts = counts[counts > 0]
+        yield pd.DataFrame({"tok": counts.index.astype(str)})
+
+    return tok_df.mapInPandas(mg, schema="tok string")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact global top-k most frequent tokens, bounded-memory plan.
+
+    Returns (tok, cnt) ordered by cnt DESC, tok ASC (deterministic
+    ties), limit ``k``. Result is always exact: the Misra–Gries prune
+    is used only when its runtime guarantee holds (k-th candidate count
+    > total_tokens/capacity); otherwise the operator silently runs the
+    plain full groupBy, which is cheap precisely when the guarantee
+    fails (few tokens). At scale the prune means the wide shuffle
+    carries ≤ capacity·n_partitions candidate rows, never one row per
+    distinct n-gram.
+    """
+    tok_df = _tokens_df(df, text_col)
+
+    cands = _mg_candidates(tok_df, capacity).distinct()
+    pruned = (
+        tok_df.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(k)
+        .collect()
+    )
+
+    total_tokens = tok_df.count()
+    bound = total_tokens / capacity
+    guaranteed = len(pruned) >= k and pruned[-1].cnt > bound
+    if not guaranteed and total_tokens > 0:
+        # Bound failed (k-th count ≤ N/capacity): candidates may miss a
+        # true top-k token. Fall back to the exact full-cardinality agg.
+        return (
+            tok_df.groupBy("tok")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            .limit(k)
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(pruned, schema="tok string, cnt bigint")
