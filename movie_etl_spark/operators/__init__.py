@@ -48,6 +48,7 @@ from movie_etl_spark.operators.dedup import (  # noqa: F401
     dup_clusters,
     embedding_near_dup_pairs,
 )
+from movie_etl_spark.operators.frequency import heavy_hitters  # noqa: F401
 from movie_etl_spark.operators.search import bm25_search  # noqa: F401
 from movie_etl_spark.operators.skew import (  # noqa: F401
     salted_broadcast_join,

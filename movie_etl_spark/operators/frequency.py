@@ -15,9 +15,11 @@ unique n-grams: the shuffle, not the scan, becomes the bottleneck.
 
   phase 1  per-partition Misra–Gries sketch (bounded ``capacity``
            counters) → candidate tokens only, O(capacity) rows per
-           partition instead of O(distinct) total;
-  phase 2  exact count of ONLY the candidates (broadcast semi-join
-           prune before the groupBy), then top-k.
+           partition instead of O(distinct) total; the SAME pass emits
+           each partition's token total, so the global N needs no
+           second scan of the exploded corpus;
+  phase 2  exact count of ONLY the candidates (semi-join prune before
+           the groupBy), then top-k.
 
 Misra–Gries guarantee: a per-partition sketch undercounts any token by
 at most N_p/capacity, so a token absent from EVERY partition's summary
@@ -37,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from movie_etl_spark.functions.text import tokens
+from movie_etl_spark.session import cache_tracked as _persist
 
 
 def _tokens_df(df: DataFrame, text_col: str) -> DataFrame:
@@ -44,8 +47,13 @@ def _tokens_df(df: DataFrame, text_col: str) -> DataFrame:
     return df.select(F.explode(tokens(text_col)).alias("tok"))
 
 
-def _mg_candidates(tok_df: DataFrame, capacity: int) -> DataFrame:
-    """Per-partition Misra–Gries candidates via mapInPandas.
+def _mg_sketch(tok_df: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries + partition token totals.
+
+    Output schema ``(tok string, n_p bigint)``: candidate rows carry
+    ``(tok, NULL)``; exactly one extra row per partition carries
+    ``(NULL, N_p)``, so the global token total falls out of this single
+    pass instead of a second full scan of the exploded corpus.
 
     The generator keeps ONE bounded dict per partition across Arrow
     batches; each batch is folded in vectorized (value_counts + index
@@ -56,15 +64,22 @@ def _mg_candidates(tok_df: DataFrame, capacity: int) -> DataFrame:
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts = pd.Series(dtype="int64")
+        n_p = 0
         for pdf in batches:
+            n_p += len(pdf)
             counts = counts.add(pdf["tok"].value_counts(), fill_value=0)
             if len(counts) > capacity:
                 kth = counts.nlargest(capacity + 1).iloc[-1]
                 counts = counts - kth
                 counts = counts[counts > 0]
-        yield pd.DataFrame({"tok": counts.index.astype(str)})
+        yield pd.DataFrame(
+            {
+                "tok": list(counts.index.astype(str)) + [None],
+                "n_p": [None] * len(counts) + [n_p],
+            }
+        )
 
-    return tok_df.mapInPandas(mg, schema="tok string")
+    return tok_df.mapInPandas(mg, schema="tok string, n_p bigint")
 
 
 def heavy_hitters(
@@ -75,38 +90,52 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact global top-k most frequent tokens, bounded-memory plan.
 
-    Returns (tok, cnt) ordered by cnt DESC, tok ASC (deterministic
-    ties), limit ``k``. Result is always exact: the Misra–Gries prune
-    is used only when its runtime guarantee holds (k-th candidate count
-    > total_tokens/capacity); otherwise the operator silently runs the
-    plain full groupBy, which is cheap precisely when the guarantee
-    fails (few tokens). At scale the prune means the wide shuffle
-    carries ≤ capacity·n_partitions candidate rows, never one row per
-    distinct n-gram.
-    """
-    tok_df = _tokens_df(df, text_col)
+    Returns a LAZY ``(tok, cnt)`` plan ordered by cnt DESC, tok ASC
+    (deterministic ties), limit ``k``. The result is always exact: the
+    Misra–Gries prune is used only when its runtime guarantee holds
+    (k-th candidate count > total_tokens/capacity); otherwise the
+    operator returns the plain full groupBy, which is cheap precisely
+    when the guarantee fails (few tokens). At scale the prune means the
+    wide shuffle carries ≤ capacity·n_partitions candidate rows (before
+    dedup), never one row per distinct n-gram.
 
-    cands = _mg_candidates(tok_df, capacity).distinct()
-    pruned = (
-        tok_df.join(F.broadcast(cands), "tok")
+    Execution contract: the guarantee check is data-dependent, so this
+    call runs TWO diagnostic Spark jobs eagerly (candidate top-k, sketch
+    total) before returning. The exploded token stream and the sketch
+    output are persisted through the session cache registry so those
+    jobs and the returned plan share one tokenize pass — callers release
+    them with :func:`movie_etl_spark.session.release_caches` after
+    consuming the result (same contract as the dedup indexes).
+
+    The candidate semi-join carries NO broadcast hint: candidates are
+    bounded by capacity × n_partitions, which a 100 TB input (hundreds
+    of thousands of partitions) can push past safe driver-broadcast
+    size. AQE picks a broadcast join when the candidate set is actually
+    small and a shuffle semi-join when it isn't.
+    """
+    tok_df = _persist(_tokens_df(df, text_col))
+    sketch = _persist(_mg_sketch(tok_df, capacity))
+    cands = sketch.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    pruned_plan = (
+        tok_df.join(cands, "tok", "left_semi")
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("tok").asc())
         .limit(k)
-        .collect()
     )
+    pruned = pruned_plan.collect()
 
-    total_tokens = tok_df.count()
+    total_tokens = sketch.agg(F.sum("n_p")).collect()[0][0] or 0
     bound = total_tokens / capacity
     guaranteed = len(pruned) >= k and pruned[-1].cnt > bound
     if not guaranteed and total_tokens > 0:
         # Bound failed (k-th count ≤ N/capacity): candidates may miss a
-        # true top-k token. Fall back to the exact full-cardinality agg.
+        # true top-k token. Fall back to the exact full-cardinality agg
+        # over the already-persisted token stream.
         return (
             tok_df.groupBy("tok")
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("tok").asc())
             .limit(k)
         )
-    spark = df.sparkSession
-    return spark.createDataFrame(pruned, schema="tok string, cnt bigint")
+    return pruned_plan

@@ -2017,8 +2017,9 @@ def q_sk2_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ap2_exact_percentile",
     """
     SELECT o_orderpriority AS priority,
-           list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-                          x -> round(x, 6)) AS price_quartiles,
+           round(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS q50,
+           round(quantile_cont(o_totalprice, 0.75), 6) AS q75,
            count(*) AS n_orders
     FROM orders GROUP BY 1
     """,
@@ -2026,16 +2027,107 @@ def q_sk2_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Spark >= 3.5, linear interpolation — same semantics as DuckDB's "
     "quantile_cont, so unlike HLL/percentile_approx this approx-family "
     "operation IS oracle-checkable). Complements ap1's rows-only "
-    "approx_count_distinct",
+    "approx_count_distinct. Output is three SCALAR columns (q25/q50/q75), "
+    "not an array: the driver's canonicalizer sorts result columns with "
+    "pandas, which cannot hash list cells (r4 red row) — same flattening "
+    "contract v4_embedding_quantize uses for its array output",
 )
 def q_ap2_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.transform(
-            F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75])),
-            lambda x: F.round(x, 6),
-        ).alias("price_quartiles"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("q50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 6).alias("q75"),
         F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "hh1_heavy_hitters",
+    f"""
+    SELECT tok, count(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY cnt DESC, tok ASC
+    LIMIT 20
+    """,
+    doc="exact top-k vocabulary via two-phase Misra-Gries heavy hitters "
+    "(mergeable summaries, PODS 2012): per-partition bounded sketch -> "
+    "candidate semi-join prune -> exact recount, with a runtime "
+    "guarantee check and full-groupBy fallback. The operator is EXACT "
+    "by construction, so the oracle is the plain GROUP BY top-k; ties "
+    "at the k boundary are broken by token so the limit is "
+    "deterministic in both engines (operators.frequency.heavy_hitters)",
+)
+def q_hh1_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.frequency import heavy_hitters
+    from movie_etl_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return heavy_hitters(d, "text", k=20)
+
+
+@register(
+    "b1_bucketed_join",
+    """
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    doc="co-located bucketed join: both sides written bucketBy(8, "
+    "custkey) once per sf+content fingerprint, then joined with ZERO "
+    "exchange on either input — the pre-partitioning investment that "
+    "eliminates the fact-side shuffle for every downstream query "
+    "sharing the key at 100 TB. The plan shape is ASSERTED inside the "
+    "query (SortMergeJoin present, no Exchange under it); the oracle "
+    "is the plain join+agg, which the bucketed layout must reproduce "
+    "bit-for-bit. Complements tests/test_bucketing.py with a "
+    "driver-verified row",
+)
+def q_b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    # table names carry the same content fingerprint the staging dirs
+    # use, so regenerated testdata re-buckets automatically
+    fp = hashlib.md5(
+        _events_staging_dir(sf_dir, table="orders").encode()
+        + _events_staging_dir(sf_dir, table="customer").encode()
+    ).hexdigest()[:10]
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders = f"b1_orders_{base}_{fp}"
+    t_custs = f"b1_custs_{base}_{fp}"
+    if not spark.catalog.tableExists(t_orders) or not spark.catalog.tableExists(
+        t_custs
+    ):
+        _t(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable(t_orders)
+        _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ).write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+            "overwrite"
+        ).saveAsTable(t_custs)
+    orders = spark.table(t_orders)
+    custs = spark.table(t_custs)
+    # merge hint: without it the tiny dim would broadcast and the
+    # bucket co-location would go unexercised — the point here is the
+    # no-shuffle SortMergeJoin that survives when BOTH sides are huge
+    joined = orders.join(
+        custs.hint("merge"), orders.o_custkey == custs.c_custkey
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, (
+        "bucketed join must be exchange-free, got:\n" + plan
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum("o_totalprice", "sum_price"),
     )
 
 
@@ -3133,60 +3225,60 @@ def q_dd8_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- never driver-verified (r3 additions past the cap) ------------------
-    "d5_scd2_merge",
-    "f10_json_props",
-    "j6_asof_join",
-    "j7_range_join",
-    "a5_cube",
-    "a6_grouping_sets",
-    "sk1_salted_hot_key_count",
+    # -- fixed this round (r4's one red row) + new this round ---------------
     "ap2_exact_percentile",
-    "cp1_quality_filter",
-    "cp2_hash_split",
-    "cp3_pack_sequences",
-    "cp4_length_buckets",
-    "cp5_stratified_sample",
-    "x1_throttled_fetch",
-    "dd6_embedding_near_dups",
-    "t3_winnowing_fingerprints",
-    "t4_bpe_token_count",
-    # -- new this round (r4) ------------------------------------------------
-    # (registered below as they are implemented; unknown names are ignored)
-    "dd7_dup_clusters",
-    "t5_repetition_quality",
-    "cc1_contamination_check",
-    "pii1_pii_scrub",
-    "bp1_boilerplate_lines",
-    "v4_embedding_quantize",
-    "cp6_temperature_mix",
-    "s6_jsonl_round_trip",
-    "v5_bm25_search",
-    "a7_time_rollup",
-    "dd8_semantic_clusters",
-    "st6_stream_static_join",
-    "k8_incremental_watermark",
-    "t6_unigram_logprob",
-    "w3_event_gaps",
-    "sk2_salted_skew_join",
-    "dd9_dedup_apply",
-    "f11_url_extract",
-    # -- representative veteran core (all driver-green in r3) ---------------
+    "hh1_heavy_hitters",
+    "b1_bucketed_join",
+    # -- rotated-in veterans: newest driver row is r2/r3 (not in r4's
+    #    window) — every query's green row stays <= 2 rounds old ------------
+    "c5_decode_map",
+    "f1_magnitude_parse",
+    "f3_regex_extract",
+    "j5_fact_fact_join",
+    "j1_semi_join",
+    "f6_edge_builder",
+    "a2_distinct_agg",
+    "a3_rollup",
+    "w1_latest_order_per_customer",
+    "set2_intersect",
+    "r4_group_collect",
+    "r1_explode_tokens",
+    "t1_text_stats",
+    "t2_language_id",
+    "dd2_minhash_signatures",
+    "dd4_ngram_jaccard",
+    "dd5_simhash",
+    "v1_brute_force_top_k",
+    "mm2_frame_sampling",
+    "f9_html_extract",
+    "f2_score_scale",
+    "f4_count_parsers",
+    "d4_merge_dedup",
+    "k7_rollback",
+    "p1_pivot",
+    "w2_running_sum",
+    "st2_session_windows",
+    "s5_seeded_dim_join",
+    "g1_clean_explode_edges",
+    "v3_ivf_top_k",
+    "a4_group_median",
+    "st4_streaming_dedup",
+    "u1_udtf_ngrams",
+    "ap1_approx_count_distinct",
+    "st3_stateful_counts",
+    # -- representative r4-green core filling the 50-query window ----------
     "s1_discover",
     "c1_sentinel_project",
     "f7_date_functions",
     "j3_broadcast_dim_join",
     "d1_anti_join",
-    "j4_hierarchy_closure",
     "a1_pricing_summary",
     "o1_top_k",
-    "set1_except",
     "dd1_exact_dedup",
     "dd3_minhash_near_dups",
     "v2_lsh_top_k",
     "st1_windowed_counts",
-    "st5_stream_stream_join",
-    "mm1_multimodal_features",
+    "cp1_quality_filter",
 ]
 
 

@@ -1,0 +1,81 @@
+"""heavy_hitters (Misra-Gries two-phase top-k) — prune path, fallback
+path, and exactness against the naive full groupBy on both."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_etl_spark.functions.text import tokens
+from movie_etl_spark.operators.frequency import heavy_hitters
+from movie_etl_spark.session import release_caches
+
+
+def _naive_top_k(df, k):
+    return (
+        df.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(k)
+        .collect()
+    )
+
+
+@pytest.fixture(autouse=True)
+def _release(spark):
+    yield
+    release_caches()
+
+
+def test_prune_path_exact_on_skewed_corpus(spark):
+    # Zipf-ish: tok_i appears (40 - i) times for i in 0..39, so the
+    # k-th count (k=5 -> 36) far exceeds N/capacity (~820/64 = 12.8):
+    # the Misra-Gries guarantee HOLDS and the prune path answers.
+    rows = [(i * 100 + j, f"tok_{i:02d}") for i in range(40) for j in range(40 - i)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    got = heavy_hitters(df, "text", k=5, capacity=64).collect()
+    want = _naive_top_k(df, 5)
+    assert [(r.tok, r.cnt) for r in got] == [(r.tok, r.cnt) for r in want]
+    assert got[0].tok == "tok_00" and got[0].cnt == 40
+
+
+def test_fallback_path_exact_on_uniform_corpus(spark):
+    # Uniform: 600 distinct tokens, each once. N/capacity = 600/16 =
+    # 37.5 > every count, so the guarantee FAILS and the operator must
+    # fall back to the full groupBy — result still exact, ties at the
+    # k boundary broken by token (deterministic).
+    rows = [(i, f"u_{i:04d}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    got = heavy_hitters(df, "text", k=10, capacity=16).collect()
+    want = _naive_top_k(df, 10)
+    assert [(r.tok, r.cnt) for r in got] == [(r.tok, r.cnt) for r in want]
+    # all-ties case: the winners are exactly the 10 smallest tokens
+    assert [r.tok for r in got] == [f"u_{i:04d}" for i in range(10)]
+    assert all(r.cnt == 1 for r in got)
+
+
+def test_paths_agree_under_partition_stress(spark):
+    # Same corpus through a capacity where the guarantee holds vs one
+    # where it cannot (capacity 2 on 200+ distinct tokens): identical
+    # (tok, cnt) output proves the candidate union + recount is exact
+    # and the fallback detector fires when it must.
+    rows = (
+        [(i, "hot alpha") for i in range(120)]
+        + [(1000 + i, "warm beta") for i in range(60)]
+        + [(2000 + i, f"cold_{i:03d}") for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    wide = heavy_hitters(df, "text", k=4, capacity=512).collect()
+    release_caches()
+    narrow = heavy_hitters(df, "text", k=4, capacity=2).collect()
+    assert [(r.tok, r.cnt) for r in wide] == [(r.tok, r.cnt) for r in narrow]
+    assert wide[0].tok == "alpha" and wide[0].cnt == 120
+    assert {r.tok for r in wide} == {"alpha", "hot", "beta", "warm"}
+
+
+def test_empty_and_blank_corpus(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None)], "doc_id long, text string"
+    )
+    assert heavy_hitters(df, "text", k=5).collect() == []
