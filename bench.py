@@ -45,27 +45,35 @@ def main() -> None:
 
     from movie_etl_spark.operators.dedup import release_indexes
 
+    # per-query isolation: one broken query must not zero the whole
+    # round's perf signal (r5 lesson: a single streaming failure crashed
+    # the run and left BENCH_r05.json with rc=1 and no timing data)
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, qd in QUERIES.items():
         t0 = time.perf_counter()
-        qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # dedup queries persist their inverted index for the multi-join
-        # plan; release it so 47 queries in one session don't accumulate
-        # executor storage (cache lifetime is caller-owned by contract)
-        release_indexes()
+        try:
+            qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            # dedup queries persist their inverted index for the
+            # multi-join plan; release it so ~90 queries in one session
+            # don't accumulate executor storage (cache lifetime is
+            # caller-owned by contract)
+            release_indexes()
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

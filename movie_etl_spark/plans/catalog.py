@@ -1536,7 +1536,12 @@ def _events_staging_dir(
     regenerated testdata invalidates the staged copy automatically.
     (Previously keyed on the sf basename only: regenerating the table
     at the same path silently served stale events to the streams while
-    the oracle read the live table.)"""
+    the oracle read the live table.)
+
+    The fingerprint carries a staging-format version: v2 stages
+    ``events.ts`` as plain TIMESTAMP (the round-5 testdata regeneration
+    briefly staged TIMESTAMP_NTZ copies, which watermarks reject — a
+    version bump orphans those instead of reusing them)."""
     import hashlib
     import os
     import tempfile
@@ -1552,6 +1557,7 @@ def _events_staging_dir(
         )
     except OSError:
         sig = "missing"
+    sig = "v2|" + sig
     fp = hashlib.md5(sig.encode()).hexdigest()[:12]
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(
@@ -1559,14 +1565,37 @@ def _events_staging_dir(
     )
 
 
+def _event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Belt-and-braces event-time contract on a (possibly streaming)
+    events frame: watermarks require TIMESTAMP, so normalize a
+    TIMESTAMP_NTZ column via cast (identical instants under the
+    UTC-pinned session; no-op when already TIMESTAMP). load_table
+    applies the same normalization batch-side — this guards the staged
+    readStream path against stale pre-normalization staging copies."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 @register(
     "st3_stateful_counts",
-    None,  # custom stateful streaming: genuinely non-SQL-expressible,
-    # driver records the rows-only check (tests assert batch equality)
+    """
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events GROUP BY user_id
+    """,
     doc="custom stateful streaming via applyInPandasWithState: per-user "
     "running (count, value-sum) in explicit state, executed as a REAL "
-    "availableNow stream into a memory sink and returned as the final "
-    "state table (streaming.events.stateful_user_counts)",
+    "availableNow stream into a memory sink "
+    "(streaming.events.stateful_user_counts). Hash-checked oracle "
+    "(upgraded from rows-only in r6): the FINAL state at end-of-stream "
+    "must equal the batch groupBy — the update-mode sink may emit a "
+    "user several times across micro-batches, so the query takes the "
+    "last emit per user (max on the monotone n_events, via struct). "
+    "total_value is exact: source values are 2-decimal, so the "
+    "float accumulation's error (~1e-12) never crosses a cent "
+    "boundary and round(.,2) lands both engines on the same double",
 )
 def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -1583,9 +1612,9 @@ def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with nanos timestamps; the stream wants a directory it owns.
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         events.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(
-        spark.read.parquet(staged).schema
-    ).parquet(staged)
+    stream = _event_time(
+        spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    )
     q = (
         stateful_user_counts(stream)
         .writeStream.format("memory")
@@ -1595,7 +1624,14 @@ def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table("st3_state")
+    # final state per user = last emit = max (n_events, total_value)
+    # struct, since n_events only ever grows within a user's state
+    return (
+        spark.table("st3_state")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+    )
 
 
 @register(
@@ -1621,9 +1657,9 @@ def q_st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # simulate an at-least-once source: 10% of events delivered twice
         redelivered = events.filter(F.col("event_id") % 10 == 0)
         events.unionByName(redelivered).write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(
-        spark.read.parquet(staged).schema
-    ).parquet(staged)
+    stream = _event_time(
+        spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    )
     q = (
         dedup_events(stream)
         .select("event_id", "user_id", "event_type", "value")
@@ -1674,8 +1710,7 @@ def q_st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(etype: str):
         return (
-            spark.readStream.schema(schema)
-            .parquet(staged)
+            _event_time(spark.readStream.schema(schema).parquet(staged))
             .filter(F.col("event_type") == etype)
             .select("user_id", "event_id", "ts")
         )
@@ -3225,60 +3260,61 @@ def q_dd8_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- fixed this round (r4's one red row) + new this round ---------------
-    "ap2_exact_percentile",
-    "hh1_heavy_hitters",
-    "b1_bucketed_join",
-    # -- rotated-in veterans: newest driver row is r2/r3 (not in r4's
-    #    window) — every query's green row stays <= 2 rounds old ------------
-    "c5_decode_map",
-    "f1_magnitude_parse",
-    "f3_regex_extract",
-    "j5_fact_fact_join",
-    "j1_semi_join",
-    "f6_edge_builder",
-    "a2_distinct_agg",
-    "a3_rollup",
-    "w1_latest_order_per_customer",
-    "set2_intersect",
-    "r4_group_collect",
-    "r1_explode_tokens",
-    "t1_text_stats",
-    "t2_language_id",
-    "dd2_minhash_signatures",
-    "dd4_ngram_jaccard",
-    "dd5_simhash",
-    "v1_brute_force_top_k",
-    "mm2_frame_sampling",
-    "f9_html_extract",
-    "f2_score_scale",
-    "f4_count_parsers",
-    "d4_merge_dedup",
-    "k7_rollback",
-    "p1_pivot",
-    "w2_running_sum",
-    "st2_session_windows",
-    "s5_seeded_dim_join",
-    "g1_clean_explode_edges",
-    "v3_ivf_top_k",
-    "a4_group_median",
+    # -- fixed this round (r5's red + its latent twin + the upgraded
+    #    st3 oracle): these three MUST re-verify in r6 -----------------------
     "st4_streaming_dedup",
-    "u1_udtf_ngrams",
-    "ap1_approx_count_distinct",
+    "st5_stream_stream_join",
     "st3_stateful_counts",
-    # -- representative r4-green core filling the 50-query window ----------
+    # -- rotated-in cohort: every query whose newest driver-green row is
+    #    r4 (i.e. not in r5's 50-query window) — keeps no green row older
+    #    than 2 rounds ------------------------------------------------------
+    "j4_hierarchy_closure",
+    "set1_except",
+    "mm1_multimodal_features",
+    "d5_scd2_merge",
+    "f10_json_props",
+    "j6_asof_join",
+    "j7_range_join",
+    "a5_cube",
+    "a6_grouping_sets",
+    "sk1_salted_hot_key_count",
+    "sk2_salted_skew_join",
+    "cp2_hash_split",
+    "cp3_pack_sequences",
+    "cp4_length_buckets",
+    "cp5_stratified_sample",
+    "x1_throttled_fetch",
+    "dd6_embedding_near_dups",
+    "t3_winnowing_fingerprints",
+    "t4_bpe_token_count",
+    "dd7_dup_clusters",
+    "t5_repetition_quality",
+    "cc1_contamination_check",
+    "pii1_pii_scrub",
+    "bp1_boilerplate_lines",
+    "v4_embedding_quantize",
+    "cp6_temperature_mix",
+    "s6_jsonl_round_trip",
+    "v5_bm25_search",
+    "a7_time_rollup",
+    "t6_unigram_logprob",
+    "w3_event_gaps",
+    "k8_incremental_watermark",
+    "dd9_dedup_apply",
+    "f11_url_extract",
+    "st6_stream_static_join",
+    "dd8_semantic_clusters",
+    # -- representative r5-green core filling the 50-query window ----------
     "s1_discover",
-    "c1_sentinel_project",
-    "f7_date_functions",
-    "j3_broadcast_dim_join",
-    "d1_anti_join",
+    "g1_clean_explode_edges",
     "a1_pricing_summary",
-    "o1_top_k",
-    "dd1_exact_dedup",
     "dd3_minhash_near_dups",
     "v2_lsh_top_k",
     "st1_windowed_counts",
-    "cp1_quality_filter",
+    "hh1_heavy_hitters",
+    "b1_bucketed_join",
+    "ap2_exact_percentile",
+    "ap1_approx_count_distinct",
 ]
 
 

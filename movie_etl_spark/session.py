@@ -72,14 +72,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet + DataFrame reader means Catalyst gets filter pushdown and
     column pruning for free on every downstream query.
 
-    ``events.parquet`` carries INT64 TIMESTAMP(NANOS), which Spark
-    rejects outright (PARQUET_TYPE_ILLEGAL) unless
-    ``spark.sql.legacy.parquet.nanosAsLong`` is on. The conf is
-    session-settable at runtime, so we set it here defensively (the
-    driver may hand us a session built without it) and convert the
-    resulting nanos BIGINT to a microsecond timestamp with integer
-    division — bit-identical to DuckDB's TIMESTAMP_NS→TIMESTAMP
-    truncation of the same column, so oracle hashes line up.
+    Schema contract for ``events.ts``: downstream operators (watermarked
+    streams above all) require a plain TIMESTAMP. The driver has shipped
+    the column in two physical encodings so far, and each is normalized
+    here — this is the single choke point, so a future re-encoding only
+    ever needs a branch added in this function:
+
+    - INT64 TIMESTAMP(NANOS) (rounds <=4): Spark rejects it outright
+      (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet
+      .nanosAsLong`` is on; the resulting nanos BIGINT is converted to a
+      microsecond timestamp with integer division — bit-identical to
+      DuckDB's TIMESTAMP_NS→TIMESTAMP truncation of the same column.
+    - ``timestamp[us], isAdjustedToUTC=false`` (round 5+): Spark reads
+      TIMESTAMP_NTZ, which ``withWatermark`` rejects
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE, the round-5 incident — see
+      BASELINE.md). Under the UTC-pinned session a cast to TIMESTAMP
+      maps wall-clock fields to the identical instant, so oracle hashes
+      are unchanged while event-time semantics come back.
     """
     # the driver may hand us its own session: pin the runtime-settable
     # confs our oracle determinism depends on (UTC casts; nanos events)
@@ -87,10 +96,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
