@@ -2138,6 +2138,20 @@ def q_b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not spark.catalog.tableExists(t_orders) or not spark.catalog.tableExists(
         t_custs
     ):
+        # fresh-session idempotency: the managed tables' warehouse dirs
+        # survive the session that wrote them, but the in-memory catalog
+        # does not — saveAsTable then fails LOCATION_ALREADY_EXISTS
+        # (caught by bench run 2 of r6). The warehouse is our own
+        # fingerprinted /tmp dir, so a stale uncataloged location is
+        # safe to clear and re-bucket.
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "/tmp/movie-etl-spark-warehouse"
+        ).removeprefix("file:")
+        for t in (t_orders, t_custs):
+            if not spark.catalog.tableExists(t):
+                shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
         _t(spark, sf_dir, "orders").select(
             "o_custkey", "o_totalprice"
         ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
