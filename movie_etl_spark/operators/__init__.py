@@ -58,3 +58,10 @@ from movie_etl_spark.operators.upsert import (  # noqa: F401
     incremental_above_watermark,
     scd2_apply,
 )
+from movie_etl_spark.operators.multimodal import (  # noqa: F401
+    decode_image,
+    decode_images,
+    extract_features,
+    pixel_features,
+    sample_frames,
+)

@@ -43,3 +43,100 @@ def test_sample_frames_fanout(assets):
     assert {r.asset_id for r in frames} == {2}
     assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000]
     assert all(r.mime_type == "video/mp4" for r in frames)
+
+
+# ---- real decode path (PPM / PGM / BMP are stdlib-parseable) ----------
+
+
+def _ppm(w, h, pixels):
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(pixels)
+
+
+def _bmp24(w, h, rows_rgb):
+    """Minimal 24-bit BI_RGB BMP: bottom-up, 4-byte padded rows."""
+    import struct
+
+    row_bytes = (w * 3 + 3) & ~3
+    data = b""
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)  # BGR
+        data += line + b"\x00" * (row_bytes - len(line))
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + dib + data
+
+
+def test_decode_image_ppm_exact_pixels():
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import decode_image
+
+    arr = decode_image(_ppm(2, 2, range(12)))
+    assert arr.shape == (2, 2, 3)
+    assert arr.tolist() == np.arange(12, dtype=np.uint8).reshape(2, 2, 3).tolist()
+    # comment + extra whitespace in header parse too
+    arr2 = decode_image(b"P6\n# c\n 2\t2\n255\n" + bytes(range(12)))
+    assert arr2.tolist() == arr.tolist()
+
+
+def test_decode_image_pgm_single_channel():
+    from movie_etl_spark.operators.multimodal import decode_image
+
+    arr = decode_image(b"P5\n3 1\n255\n" + bytes([0, 128, 255]))
+    assert arr.shape == (1, 3, 1)
+    assert arr.ravel().tolist() == [0, 128, 255]
+
+
+def test_decode_image_bmp_matches_ppm():
+    from movie_etl_spark.operators.multimodal import decode_image
+
+    rows = [[(10, 20, 30), (40, 50, 60)], [(70, 80, 90), (100, 110, 120)]]
+    arr = decode_image(_bmp24(2, 2, rows))
+    assert arr.shape == (2, 2, 3)
+    assert [[tuple(px) for px in row] for row in arr.tolist()] == rows
+
+
+def test_decode_image_rejects_compressed_and_garbage():
+    from movie_etl_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="PNG/JPEG"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"GIF89a")
+    with pytest.raises(ValueError):
+        decode_image(_ppm(4, 4, range(12)))  # truncated pixel data
+
+
+def test_decode_images_operator_exact_stats(spark):
+    from movie_etl_spark.operators.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [(1, _ppm(2, 2, range(12))), (2, b"P5\n2 1\n255\n" + bytes([7, 9]))],
+        "asset_id long, payload binary",
+    )
+    out = {r.asset_id: r for r in decode_images(df).collect()}
+    assert (out[1].height, out[1].width, out[1].channels) == (2, 2, 3)
+    assert out[1].pixel_sum == sum(range(12))
+    assert (out[1].pixel_min, out[1].pixel_max) == (0, 11)
+    assert (out[2].height, out[2].width, out[2].channels) == (1, 2, 1)
+    assert (out[2].pixel_sum, out[2].pixel_min, out[2].pixel_max) == (16, 7, 9)
+
+
+def test_extract_features_try_real_prefers_pixels(spark):
+    from movie_etl_spark.operators.multimodal import pixel_features
+
+    df = spark.createDataFrame(
+        [(1, "image", _ppm(2, 2, range(12)), "image/ppm", 2, 2, None),
+         (2, "image", b"not-an-image", "application/octet-stream", None, None, None)],
+        MULTIMODAL_ASSET,
+    )
+    out = {
+        r.asset_id: r
+        for r in extract_features(df, fake_decode=True, try_real=True).collect()
+    }
+    # decodable payload -> real pixel stats, not the md5 pseudo-feature
+    assert out[1].feature[:3] == [2.0, 2.0, 3.0]
+    assert abs(out[1].feature[3] - 5.5) < 1e-9  # mean of 0..11
+    # undecodable payload falls back to the bounded md5 fake
+    assert all(0.0 <= v <= 1.0 for v in out[2].feature)
