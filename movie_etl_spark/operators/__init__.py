@@ -59,6 +59,8 @@ from movie_etl_spark.operators.upsert import (  # noqa: F401
     scd2_apply,
 )
 from movie_etl_spark.operators.multimodal import (  # noqa: F401
+    decode_audio,
+    decode_audio_stats,
     decode_image,
     decode_images,
     extract_features,

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -122,6 +123,102 @@ def _decode_bmp24(payload: bytes) -> np.ndarray:
     ).reshape(height, row_bytes)[:, : width * 3]
     img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
     return img[::-1] if bottom_up else img
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real audio decode for RIFF/WAV PCM — the format a stdlib-only
+    environment can genuinely parse (compressed audio needs external
+    codecs and raises NotImplementedError).
+
+    Chunk-walking parser: tolerates extra chunks (LIST/fact/...) and
+    odd-size padding. Supports 16-bit signed LE and 8-bit unsigned PCM.
+    Returns ``(frames, sample_rate)`` where ``frames`` is an
+    [n_frames, n_channels] int32 array of raw sample values (16-bit:
+    -32768..32767; 8-bit: 0..255 as stored).
+    """
+    if payload is None or len(payload) < 12:
+        raise ValueError("empty or truncated payload")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:4]!r}")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"compressed WAV (format tag {audio_format}) requires an "
+            "external codec — only PCM (tag 1) supported"
+        )
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.int32)
+    elif bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    if channels < 1:
+        raise ValueError("channel count must be >= 1")
+    n_frames = len(samples) // channels
+    return samples[: n_frames * channels].reshape(n_frames, channels), rate
+
+
+DECODED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", DoubleType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_min", IntegerType()),
+        StructField("sample_max", IntegerType()),
+    ]
+)
+
+
+def decode_audio_stats(assets: DataFrame) -> DataFrame:
+    """REAL WAV decode to typed columns — strict, no fake fallback.
+    Integer sample stats are exact (hash-stable across engines);
+    duration is frames/rate. Same Arrow/mapInPandas 100 TB shape as
+    :func:`decode_images`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "sample_rate", "n_channels", "n_frames",
+                "duration_ms", "sample_sum", "sample_min", "sample_max",
+            )}
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                frames, rate = decode_audio(bytes(b))
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(frames.shape[1])
+                out["n_frames"].append(frames.shape[0])
+                out["duration_ms"].append(frames.shape[0] * 1000.0 / rate)
+                out["sample_sum"].append(int(frames.sum(dtype=np.int64)))
+                out["sample_min"].append(int(frames.min()))
+                out["sample_max"].append(int(frames.max()))
+            yield pd.DataFrame(out)
+
+    from movie_etl_spark.session import ensure_parallelism
+
+    return ensure_parallelism(assets).mapInPandas(run, schema=DECODED_AUDIO_SCHEMA)
 
 
 def pixel_features(arr: np.ndarray) -> list[float]:

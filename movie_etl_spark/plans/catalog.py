@@ -1114,6 +1114,72 @@ def q_mm3_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm4_audio_decode",
+    """
+    WITH h AS (
+      SELECT doc_id AS asset_id, md5(text) AS hx FROM documents
+    ), u AS (
+      SELECT asset_id,
+             list_transform(range(0, 8),
+               i -> ((strpos('0123456789abcdef', substring(hx, 4*i+1, 1)) - 1)
+                       * 16
+                   + (strpos('0123456789abcdef', substring(hx, 4*i+2, 1)) - 1))
+                  + 256 *
+                    ((strpos('0123456789abcdef', substring(hx, 4*i+3, 1)) - 1)
+                       * 16
+                   + (strpos('0123456789abcdef', substring(hx, 4*i+4, 1)) - 1))
+             ) AS raw
+      FROM h
+    ), s AS (
+      SELECT asset_id,
+             list_transform(raw,
+               x -> CASE WHEN x >= 32768 THEN x - 65536 ELSE x END) AS smp
+      FROM u
+    )
+    SELECT asset_id, 8000 AS sample_rate, 1 AS n_channels,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(1.0 AS DOUBLE) AS duration_ms,
+           CAST(list_sum(smp) AS BIGINT) AS sample_sum,
+           CAST(list_min(smp) AS INT) AS sample_min,
+           CAST(list_max(smp) AS INT) AS sample_max
+    FROM s
+    """,
+    doc="REAL audio decode (no stub): each document's md5 digest becomes "
+    "the PCM body of a genuine 44-byte-header RIFF/WAV file (16-bit "
+    "signed LE mono @ 8 kHz, 8 frames), and "
+    "operators.multimodal.decode_audio chunk-walks the actual format "
+    "back to samples — exact integer sample stats out. The oracle "
+    "re-derives the same little-endian signed samples from md5's hex "
+    "digits, so one mis-parsed byte or sign error breaks the hash. "
+    "PCM WAV is the audio analogue of mm3's PPM ceiling; compressed "
+    "codecs raise NotImplementedError",
+)
+def q_mm4_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    from movie_etl_spark.operators.multimodal import decode_audio_stats
+
+    # canonical 44-byte PCM WAV header for: mono, 8000 Hz, 16-bit,
+    # 16 bytes of sample data (the md5 digest)
+    data_len = 16
+    header = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + _struct.pack("<I", data_len)
+    )
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(F.lit(header), F.expr("unhex(md5(text))")).alias("payload"),
+    )
+    return decode_audio_stats(assets)
+
+
+@register(
     "f9_html_extract",
     """
     SELECT doc_id,
@@ -3324,8 +3390,9 @@ DRIVER_PRIORITY: list[str] = [
     "st4_streaming_dedup",
     "st5_stream_stream_join",
     "st3_stateful_counts",
-    # -- new this round: real PPM decode, never driver-verified ------------
+    # -- new this round: real PPM/WAV decodes, never driver-verified -------
     "mm3_image_decode",
+    "mm4_audio_decode",
     # -- rotated-in cohort: every query whose newest driver-green row is
     #    r4 (i.e. not in r5's 50-query window) — keeps no green row older
     #    than 2 rounds ------------------------------------------------------
@@ -3374,7 +3441,6 @@ DRIVER_PRIORITY: list[str] = [
     "st1_windowed_counts",
     "hh1_heavy_hitters",
     "b1_bucketed_join",
-    "ap2_exact_percentile",
 ]
 
 

@@ -123,6 +123,94 @@ def test_decode_images_operator_exact_stats(spark):
     assert (out[2].pixel_sum, out[2].pixel_min, out[2].pixel_max) == (16, 7, 9)
 
 
+def _wav(samples, rate=8000, channels=1, bits=16, extra_chunk=False):
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes(samples)
+    block = channels * bits // 8
+    fmt = struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits)
+    chunks = b"fmt " + fmt
+    if extra_chunk:  # parser must skip unknown chunks (odd size -> padded)
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_audio_pcm16_exact_samples():
+    from movie_etl_spark.operators.multimodal import decode_audio
+
+    samples = [0, -32768, 32767, 1000, -1, 7]
+    frames, rate = decode_audio(_wav(samples))
+    assert rate == 8000 and frames.shape == (6, 1)
+    assert frames.ravel().tolist() == samples
+    # stereo: frames pair up
+    frames2, _ = decode_audio(_wav(samples, channels=2))
+    assert frames2.shape == (3, 2)
+    assert frames2.ravel().tolist() == samples
+
+
+def test_decode_audio_skips_unknown_chunks_and_8bit():
+    from movie_etl_spark.operators.multimodal import decode_audio
+
+    frames, rate = decode_audio(
+        _wav([0, 128, 255], rate=44100, bits=8, extra_chunk=True)
+    )
+    assert rate == 44100
+    assert frames.ravel().tolist() == [0, 128, 255]
+
+
+def test_decode_audio_matches_stdlib_wave():
+    import io
+    import wave
+
+    from movie_etl_spark.operators.multimodal import decode_audio
+
+    payload = _wav([5, -5, 12345, -12345], rate=16000)
+    with wave.open(io.BytesIO(payload)) as w:
+        assert w.getframerate() == 16000
+        assert w.getnframes() == 4
+        raw = w.readframes(4)
+    frames, rate = decode_audio(payload)
+    assert rate == 16000
+    import struct
+
+    assert frames.ravel().tolist() == list(struct.unpack("<4h", raw))
+
+
+def test_decode_audio_rejects_compressed_and_garbage():
+    import struct
+
+    from movie_etl_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_audio(b"OggS" + b"\x00" * 16)
+    # format tag 85 = MP3-in-WAV: needs a codec
+    fmt = struct.pack("<IHHIIHH", 16, 85, 1, 8000, 8000, 1, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + 12) + b"WAVE"
+        + b"fmt " + fmt + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="compressed WAV"):
+        decode_audio(bad)
+
+
+def test_decode_audio_stats_operator(spark):
+    from movie_etl_spark.operators.multimodal import decode_audio_stats
+
+    df = spark.createDataFrame(
+        [(1, _wav([10, -20, 30])), (2, _wav([0, 0], rate=1000))],
+        "asset_id long, payload binary",
+    )
+    out = {r.asset_id: r for r in decode_audio_stats(df).collect()}
+    assert (out[1].sample_rate, out[1].n_channels, out[1].n_frames) == (8000, 1, 3)
+    assert (out[1].sample_sum, out[1].sample_min, out[1].sample_max) == (20, -20, 30)
+    assert out[1].duration_ms == 3 * 1000.0 / 8000
+    assert out[2].duration_ms == 2.0
+
+
 def test_extract_features_try_real_prefers_pixels(spark):
     from movie_etl_spark.operators.multimodal import pixel_features
 
