@@ -67,3 +67,6 @@ from movie_etl_spark.operators.multimodal import (  # noqa: F401
     pixel_features,
     sample_frames,
 )
+from movie_etl_spark.operators.graph_algos import (  # noqa: F401
+    pagerank_fixed_point,
+)

@@ -1,0 +1,70 @@
+"""Iterative graph algorithms over edge lists (engine extension).
+
+The reference's end product is a property graph in Neo4j
+(`/root/reference/src/movie_etl/tasks/kg_task.py`, kg_scripts/*.cypher);
+centrality over that graph is the canonical follow-on analytics the
+store itself would run. Here the graph is an edge DataFrame and the
+algorithm is join-based message passing — the BSP/Pregel shape: each
+iteration is ONE shuffle (groupBy destination), the edge list is
+computed once and persisted, and rank state stays co-partitioned with
+the aggregation key, so an iteration at 100 TB costs one bounded
+shuffle of the rank table, not a rebuild of the graph.
+
+Arithmetic is FIXED-POINT INTEGER on purpose: float PageRank sums
+neighbor contributions in a nondeterministic order, so two engines (or
+two runs) disagree in the low bits and an exact-hash oracle would be
+impossible. With ranks scaled to integers (1.0 == `scale`) and damping
+as a rational (17/20 == 0.85), every operation is exact integer math —
+`sum` is order-independent, `div` is truncating division on
+non-negatives in both Spark and DuckDB — so the result is bit-stable
+across engines, partitionings, and retries. Determinism-by-integers is
+also the deploy-grade choice: reproducible ranks across cluster runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_etl_spark.session import cache_tracked
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damp_num: int = 17,
+    damp_den: int = 20,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    ``edges`` needs columns ``(src, dst)`` (long ids; symmetrize before
+    calling for an undirected graph). Every node must appear as a
+    ``src`` at least once (true for symmetrized graphs); dangling-node
+    mass is not redistributed. Returns ``(node_id, rank)`` where rank
+    is fixed-point with 1.0 == ``scale``.
+
+    Per iteration: contribution = ``rank div out_degree`` along each
+    edge, summed at the destination, then
+    ``rank' = (1-d)*scale + (damp_num * incoming) div damp_den``.
+    All integer ops — see module docstring for why.
+    """
+    edges = cache_tracked(edges.select("src", "dst"))
+    deg = cache_tracked(edges.groupBy("src").agg(F.count("*").alias("deg")))
+    ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
+    base = (scale * (damp_den - damp_num)) // damp_den
+    for _ in range(iterations):
+        incoming = (
+            edges.join(ranks.join(deg, "src"), "src")
+            .select("dst", F.expr("rank div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = deg.join(incoming, deg.src == incoming.dst, "left").select(
+            deg.src,
+            (
+                F.lit(base)
+                + F.expr(f"({damp_num} * coalesce(inc, 0)) div {damp_den}")
+            ).cast("long").alias("rank"),
+        )
+    return ranks.select(F.col("src").alias("node_id"), "rank")

@@ -1179,6 +1179,62 @@ def q_mm4_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_stats(assets)
 
 
+_PAGERANK_ITER_SQL = """
+i{n} AS (SELECT e.dst, sum(r.pr // d.deg) AS inc
+       FROM edges e JOIN r{p} r ON r.src = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+r{n} AS (SELECT deg.src,
+               CAST(150000 + (17 * coalesce(i.inc, 0)) // 20 AS BIGINT) AS pr
+       FROM deg LEFT JOIN i{n} i ON i.dst = deg.src)"""
+
+
+@register(
+    "gr1_pagerank",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS src,
+                      CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT src, CAST(1000000 AS BIGINT) AS pr FROM deg),"""
+    + ",".join(_PAGERANK_ITER_SQL.format(n=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT src AS node_id, pr FROM r3
+    """,
+    doc="iterative graph algorithm: 3-iteration PageRank (damping 0.85) "
+    "over the symmetrized part<->supplier bipartite graph, via "
+    "operators.graph_algos.pagerank_fixed_point — join-based BSP "
+    "message passing, one shuffle per iteration against a persisted "
+    "edge list. FIXED-POINT INTEGER arithmetic (1.0 == 1e6, damping as "
+    "17/20) makes every step exact and order-independent, so the "
+    "unrolled recursive-SQL oracle hash-matches bit-for-bit — float "
+    "PageRank could never be exact-hash-checked across engines. The "
+    "reference's product is a Neo4j knowledge graph (kg_task.py); "
+    "centrality is the canonical analytics over it",
+)
+def q_gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.graph_algos import pagerank_fixed_point
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = li.unionByName(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iterations=3)
+    return pr.select("node_id", F.col("rank").alias("pr"))
+
+
 @register(
     "f9_html_extract",
     """
@@ -3393,6 +3449,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- new this round: real PPM/WAV decodes, never driver-verified -------
     "mm3_image_decode",
     "mm4_audio_decode",
+    "gr1_pagerank",
     # -- rotated-in cohort: every query whose newest driver-green row is
     #    r4 (i.e. not in r5's 50-query window) — keeps no green row older
     #    than 2 rounds ------------------------------------------------------
@@ -3440,7 +3497,6 @@ DRIVER_PRIORITY: list[str] = [
     "v2_lsh_top_k",
     "st1_windowed_counts",
     "hh1_heavy_hitters",
-    "b1_bucketed_join",
 ]
 
 

@@ -260,3 +260,24 @@ def test_scd2_apply_full_matrix(spark):
         (5, None, date(2020, 1, 1), None),               # null-safe: no churn
         (4, 40.0, date(2024, 6, 1), None),               # brand new
     }
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    """Chain graph 1-2-3 (symmetric): one iteration's fixed-point values
+    are hand-derivable. deg: {1:1, 2:2, 3:1}; contribs 1->2: 1e6,
+    2->1: 5e5, 2->3: 5e5, 3->2: 1e6; rank' = 150000 + 17*inc//20."""
+    from movie_etl_spark.operators.graph_algos import pagerank_fixed_point
+    from movie_etl_spark.session import release_caches
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    one = {r.node_id: r.rank for r in pagerank_fixed_point(edges, 1).collect()}
+    assert one == {1: 575000, 2: 1850000, 3: 575000}
+    # fixed iterations are deterministic: same input -> identical ranks
+    again = {r.node_id: r.rank for r in pagerank_fixed_point(edges, 3).collect()}
+    again2 = {r.node_id: r.rank for r in pagerank_fixed_point(edges, 3).collect()}
+    assert again == again2
+    # total mass stays near n*scale (integer division only loses mass)
+    assert 0.9 * 3_000_000 < sum(again.values()) <= 3_000_000
+    release_caches()
