@@ -197,3 +197,16 @@ def test_bp1_frequent_set_join_is_broadcast_no_hint(spark):
     logical = df._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
     assert "BroadcastHashJoin" in _plan(spark, "bp1_boilerplate_lines")
+
+
+@needs_testdata
+def test_gr1_pagerank_is_equi_join_only(spark):
+    """PageRank's message passing must stay equi-join shaped (hash or
+    sort-merge): a nested-loop or cartesian anywhere means the edge
+    join degenerated and an iteration would be O(V*E) at scale."""
+    from movie_etl_spark.session import release_caches
+
+    plan = _plan(spark, "gr1_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release_caches()
