@@ -70,3 +70,7 @@ from movie_etl_spark.operators.multimodal import (  # noqa: F401
 from movie_etl_spark.operators.graph_algos import (  # noqa: F401
     pagerank_fixed_point,
 )
+from movie_etl_spark.operators.layout import (  # noqa: F401
+    cluster_by_zorder,
+    zorder_key,
+)

@@ -1235,6 +1235,53 @@ def q_gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node_id", F.col("rank").alias("pr"))
 
 
+def _zorder_oracle_expr(dims: list[str], bits: int = 8) -> str:
+    """The DuckDB twin of operators.layout.zorder_key: identical bit
+    interleaving as one OR-chain of shift/and terms."""
+    n = len(dims)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * n + d})"
+        for i in range(bits)
+        for d, c in enumerate(dims)
+    ]
+    return " | ".join(terms)
+
+
+@register(
+    "z1_zorder_key",
+    f"""
+    WITH q AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 256 AS BIGINT) AS q1,
+             CAST(o_custkey % 256 AS BIGINT) AS q2
+      FROM orders
+    )
+    SELECT o_orderkey, q1, q2,
+           CAST({_zorder_oracle_expr(["q1", "q2"])} AS BIGINT) AS zkey
+    FROM q
+    """,
+    doc="Z-order (Morton) clustering key: bit-interleaving of quantized "
+    "dimensions via operators.layout.zorder_key — pure JVM-side "
+    "shift/and/or expression tree (whole-stage codegen, no UDF). This "
+    "is the data-layout lever for 100 TB scans: files clustered along "
+    "the Z-curve carry bounded min-max ranges in EVERY clustered "
+    "column, so parquet stats prune scans for filters on any subset "
+    "(Delta OPTIMIZE ZORDER's mechanism, built from first principles). "
+    "The oracle recomputes the identical interleaving with SQL bit "
+    "ops; tests/test_layout.py proves the pruning benefit from real "
+    "parquet row-group statistics",
+)
+def q_z1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 256).cast("long").alias("q1"),
+        (F.col("o_custkey") % 256).cast("long").alias("q2"),
+    )
+    return o.withColumn("zkey", zorder_key(["q1", "q2"], bits=8))
+
+
 @register(
     "f9_html_extract",
     """
@@ -3450,6 +3497,7 @@ DRIVER_PRIORITY: list[str] = [
     "mm3_image_decode",
     "mm4_audio_decode",
     "gr1_pagerank",
+    "z1_zorder_key",
     # -- rotated-in cohort: every query whose newest driver-green row is
     #    r4 (i.e. not in r5's 50-query window) — keeps no green row older
     #    than 2 rounds ------------------------------------------------------
@@ -3496,7 +3544,6 @@ DRIVER_PRIORITY: list[str] = [
     "dd3_minhash_near_dups",
     "v2_lsh_top_k",
     "st1_windowed_counts",
-    "hh1_heavy_hitters",
 ]
 
 

@@ -1,0 +1,96 @@
+"""Z-order clustering: key correctness + the actual layout benefit,
+measured from real parquet row-group statistics (not asserted from
+docstrings)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_etl_spark.operators.layout import cluster_by_zorder, zorder_key
+
+
+def test_zorder_key_interleaves_bits(spark):
+    # hand-computed Morton codes for 2 dims: (x=0b11, y=0b01) ->
+    # bits: x0->b0, y0->b1, x1->b2, y1->b3 = 0b0111 = 7
+    # (x=1, y=3): x0->b0=1, y0->b1=1, x1->b2=0, y1->b3=1 = 0b1011
+    rows = [(0, 0, 0), (3, 1, 0b0111), (1, 3, 0b1011), (255, 255, 65535)]
+    df = spark.createDataFrame(
+        [(x, y) for x, y, _ in rows], "x long, y long"
+    ).withColumn("z", zorder_key(["x", "y"], bits=8))
+    got = {(r.x, r.y): r.z for r in df.collect()}
+    for x, y, want in rows:
+        assert got[(x, y)] == want, (x, y)
+
+
+def test_zorder_key_is_pure_codegen_expression(spark):
+    """No UDF, no shuffle: the key must be a single projected expression
+    (BatchEvalPython/ArrowEvalPython in the plan would mean a Python
+    round-trip per row — the thing this operator exists to avoid)."""
+    df = spark.range(100).select(
+        (F.col("id") % 16).alias("a"), (F.col("id") % 7).alias("b")
+    ).withColumn("z", zorder_key(["a", "b"], bits=4))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def _rowgroup_spans(path: str, col: str) -> list[int]:
+    """(max - min) of `col` per parquet row group across all part files."""
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append(st.max - st.min)
+    return spans
+
+
+@pytest.mark.parametrize("n_files", [16])
+def test_zorder_layout_bounds_both_dims(spark, tmp_path, n_files):
+    """The pruning claim, measured: a layout sorted on dim a alone gives
+    dim b full-domain row-group ranges (stats useless for b-filters);
+    the Z-ordered layout gives BOTH dims substantially bounded ranges.
+
+    Assertions are relative and use enough files to absorb the curve's
+    known worst case: a contiguous Z-range that straddles a high-bit
+    tile boundary legitimately spans most of a dimension, so individual
+    files can be wide — the layout claim is about the MEAN."""
+    df = (
+        spark.range(0, 1 << 14)
+        .select(
+            (F.col("id") % 256).alias("a"),
+            ((F.col("id") * 2654435761) % 256).alias("b"),  # decorrelated
+        )
+    )
+    single = str(tmp_path / "single_sort")
+    zord = str(tmp_path / "zorder")
+    df.repartitionByRange(n_files, "a").sortWithinPartitions("a").write.parquet(single)
+    cluster_by_zorder(df, ["a", "b"], bits=8, num_partitions=n_files).write.parquet(zord)
+
+    full = 255
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    b_single = _rowgroup_spans(single, "b")
+    b_z = _rowgroup_spans(zord, "b")
+    a_z = _rowgroup_spans(zord, "a")
+    # single-column sort leaves b unbounded per file...
+    assert mean(b_single) > 0.9 * full
+    # ...z-order bounds BOTH dims well below that on average
+    assert mean(b_z) < 0.6 * mean(b_single)
+    assert mean(a_z) < 0.6 * full
+
+
+def test_cluster_by_zorder_preserves_rows(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") % 50).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    out = cluster_by_zorder(df, ["a", "b"], bits=6, num_partitions=4)
+    assert out.columns == ["a", "b", "payload"]  # key dropped
+    assert sorted(r.payload for r in out.collect()) == list(range(1000))
