@@ -35,6 +35,7 @@ def pagerank_fixed_point(
     scale: int = 1_000_000,
     damp_num: int = 17,
     damp_den: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -48,12 +49,19 @@ def pagerank_fixed_point(
     edge, summed at the destination, then
     ``rank' = (1-d)*scale + (damp_num * incoming) div damp_den``.
     All integer ops — see module docstring for why.
+
+    ``checkpoint_every``: the rank frame's lineage grows one join+agg
+    layer per iteration; past a handful of layers Catalyst's plan
+    compilation, not the data, becomes the cost. Every N iterations the
+    chain is cut with ``localCheckpoint`` (the same guard dd7's label
+    propagation uses) so deep runs stay O(iterations) instead of
+    O(iterations * plan-depth).
     """
     edges = cache_tracked(edges.select("src", "dst"))
     deg = cache_tracked(edges.groupBy("src").agg(F.count("*").alias("deg")))
     ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
     base = (scale * (damp_den - damp_num)) // damp_den
-    for _ in range(iterations):
+    for it in range(iterations):
         incoming = (
             edges.join(ranks.join(deg, "src"), "src")
             .select("dst", F.expr("rank div deg").alias("contrib"))
@@ -67,4 +75,6 @@ def pagerank_fixed_point(
                 + F.expr(f"({damp_num} * coalesce(inc, 0)) div {damp_den}")
             ).cast("long").alias("rank"),
         )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select(F.col("src").alias("node_id"), "rank")

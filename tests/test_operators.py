@@ -281,3 +281,20 @@ def test_pagerank_fixed_point_hand_computed(spark):
     # total mass stays near n*scale (integer division only loses mass)
     assert 0.9 * 3_000_000 < sum(again.values()) <= 3_000_000
     release_caches()
+
+
+def test_pagerank_deep_iterations_with_lineage_cut(spark):
+    """12 iterations crosses the localCheckpoint boundary twice: ranks
+    must stay deterministic across the cuts and converge toward the
+    analytic stationary point (center of a chain holds the most mass)."""
+    from movie_etl_spark.operators.graph_algos import pagerank_fixed_point
+    from movie_etl_spark.session import release_caches
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    a = {r.node_id: r.rank for r in pagerank_fixed_point(edges, 12).collect()}
+    b = {r.node_id: r.rank for r in pagerank_fixed_point(edges, 12).collect()}
+    assert a == b
+    assert a[2] > a[1] == a[3] > 0
+    release_caches()
