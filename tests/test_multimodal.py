@@ -228,3 +228,59 @@ def test_extract_features_try_real_prefers_pixels(spark):
     assert abs(out[1].feature[3] - 5.5) < 1e-9  # mean of 0..11
     # undecodable payload falls back to the bounded md5 fake
     assert all(0.0 <= v <= 1.0 for v in out[2].feature)
+
+
+# ---- property-based round-trips (hypothesis) --------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 16),
+        data=st.data(),
+    )
+    def test_ppm_roundtrip_property(w, h, data):
+        """encode(pixels) -> decode == pixels for arbitrary sizes/values."""
+        from movie_etl_spark.operators.multimodal import decode_image
+
+        pixels = data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+        )
+        arr = decode_image(f"P6\n{w} {h}\n255\n".encode() + bytes(pixels))
+        assert arr.shape == (h, w, 3)
+        assert arr.ravel().tolist() == pixels
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        rate=st.integers(1, 96000),
+        channels=st.integers(1, 4),
+        data=st.data(),
+    )
+    def test_wav_roundtrip_property(rate, channels, data):
+        """encode(samples) -> decode == samples for arbitrary rates,
+        channel counts, and 16-bit values (full signed range)."""
+        from movie_etl_spark.operators.multimodal import decode_audio
+
+        n_frames = data.draw(st.integers(1, 32))
+        samples = data.draw(
+            st.lists(
+                st.integers(-32768, 32767),
+                min_size=n_frames * channels,
+                max_size=n_frames * channels,
+            )
+        )
+        frames, got_rate = decode_audio(
+            _wav(samples, rate=rate, channels=channels)
+        )
+        assert got_rate == rate
+        assert frames.shape == (n_frames, channels)
+        assert frames.ravel().tolist() == samples
