@@ -36,19 +36,35 @@ def pagerank_fixed_point(
     damp_num: int = 17,
     damp_den: int = 20,
     checkpoint_every: int = 5,
+    nodes: DataFrame | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
     ``edges`` needs columns ``(src, dst)`` (long ids; symmetrize before
-    calling for an undirected graph). Every node must appear as a
-    ``src`` at least once (true for symmetrized graphs); dangling-node
-    mass is not redistributed. Returns ``(node_id, rank)`` where rank
-    is fixed-point with 1.0 == ``scale``.
+    calling for an undirected graph). By default the node universe is
+    the set of sources (every node must appear as a ``src`` at least
+    once — true for symmetrized graphs) and dangling-node mass is NOT
+    redistributed. For graphs with sink nodes pass ``nodes`` (a
+    one-column frame of all node ids, so zero-out-degree nodes get rank
+    rows) and ``redistribute_dangling=True`` to split their rank mass
+    evenly across all nodes each iteration — the standard correction
+    that keeps total mass conserved. Returns ``(node_id, rank)`` where
+    rank is fixed-point with 1.0 == ``scale``.
 
     Per iteration: contribution = ``rank div out_degree`` along each
-    edge, summed at the destination, then
-    ``rank' = (1-d)*scale + (damp_num * incoming) div damp_den``.
-    All integer ops — see module docstring for why.
+    edge, summed at the destination, then ``rank' = (1-d)*scale +
+    (damp_num * (incoming + dangling_share)) div damp_den`` where
+    ``dangling_share = sum(rank over deg==0 nodes) div n_nodes`` (0
+    when not redistributing). All integer ops — see module docstring.
+
+    The per-edge invariant ``(src, dst, deg(src))`` is joined ONCE
+    before the loop and persisted; each iteration is then one join
+    (ranks onto edges) + one groupBy + one left join back onto the node
+    table. (The r6 plan audit flagged the former in-loop re-join of the
+    invariant degree table as gr1's avoidable cost.) The dangling sum
+    is a 1-row aggregate attached by broadcast crossJoin — never a
+    driver-side collect.
 
     ``checkpoint_every``: the rank frame's lineage grows one join+agg
     layer per iteration; past a handful of layers Catalyst's plan
@@ -58,23 +74,55 @@ def pagerank_fixed_point(
     O(iterations * plan-depth).
     """
     edges = cache_tracked(edges.select("src", "dst"))
-    deg = cache_tracked(edges.groupBy("src").agg(F.count("*").alias("deg")))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    if nodes is not None:
+        node_ids = nodes.select(
+            F.col(nodes.columns[0]).cast("long").alias("src")
+        ).distinct()
+        deg = cache_tracked(
+            node_ids.join(out_deg, "src", "left").select(
+                "src", F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
+            )
+        )
+    else:
+        deg = cache_tracked(out_deg)
+    # invariant per-edge state, computed once outside the loop
+    edges_deg = cache_tracked(edges.join(deg, "src"))
     ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
     base = (scale * (damp_den - damp_num)) // damp_den
     for it in range(iterations):
         incoming = (
-            edges.join(ranks.join(deg, "src"), "src")
+            edges_deg.join(ranks, "src")
             .select("dst", F.expr("rank div deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inc"))
         )
-        ranks = deg.join(incoming, deg.src == incoming.dst, "left").select(
-            deg.src,
-            (
-                F.lit(base)
-                + F.expr(f"({damp_num} * coalesce(inc, 0)) div {damp_den}")
-            ).cast("long").alias("rank"),
-        )
+        joined = deg.join(incoming, deg.src == incoming.dst, "left")
+        if redistribute_dangling:
+            dang = ranks.join(deg, "src").agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0)
+                ).cast("long").alias("dang_sum"),
+                F.count("*").alias("n_nodes"),
+            )
+            ranks = joined.crossJoin(F.broadcast(dang)).select(
+                deg.src,
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inc, 0)"
+                        f" + dang_sum div n_nodes)) div {damp_den}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        else:
+            ranks = joined.select(
+                deg.src,
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_num} * coalesce(inc, 0)) div {damp_den}")
+                ).cast("long").alias("rank"),
+            )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select(F.col("src").alias("node_id"), "rank")
