@@ -3,14 +3,17 @@ columns with typed metadata (engine extension for LLM data pipelines).
 
 Decode has a REAL path and an honest stub, split by codec class:
 
-- ``decode_image`` genuinely parses the uncompressed formats a
-  stdlib+numpy environment can handle — PPM (P6), PGM (P5), and
-  24-bit uncompressed BMP — into H×W×C uint8 pixel arrays.
-- Compressed codecs (PNG/JPEG/audio/video) require external libraries
-  that are not in this environment; those payloads raise
-  NotImplementedError, and ``extract_features``'s ``fake`` fallback
-  derives a deterministic md5 pseudo-feature instead so the Spark-side
-  plumbing stays testable end-to-end.
+- ``decode_image`` genuinely parses the formats a stdlib+numpy
+  environment can handle — PPM (P6), PGM (P5), 24-bit uncompressed
+  BMP, and 8-bit non-interlaced PNG (IDAT is DEFLATE, which stdlib
+  ``zlib`` inflates; the chunk walk + per-scanline unfilter here is
+  pure Python, the same spirit as the WAV chunk walker) — into H×W×C
+  uint8 pixel arrays.
+- Codecs that genuinely need an external library (JPEG's DCT entropy
+  coding, MP3, video) raise NotImplementedError, and
+  ``extract_features``'s ``fake`` fallback derives a deterministic md5
+  pseudo-feature instead so the Spark-side plumbing stays testable
+  end-to-end.
 
 Everything runs through ``mapInPandas`` so payload bytes move
 driver-free through Arrow record batches; at 100 TB the pattern is:
@@ -52,12 +55,15 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode for stdlib-parseable uncompressed formats.
+    """Real image decode for stdlib-parseable formats.
 
-    Supports PPM binary (P6), PGM binary (P5), and 24-bit uncompressed
-    (BI_RGB) BMP. Returns an H×W×C uint8 array (C=1 for PGM). Raises
-    ``NotImplementedError`` for compressed codecs (PNG/JPEG need
-    external decoders) and ``ValueError`` for malformed/unknown bytes.
+    Supports PPM binary (P6), PGM binary (P5), 24-bit uncompressed
+    (BI_RGB) BMP, and 8-bit non-interlaced PNG (gray / gray+alpha /
+    RGB / RGBA — stdlib ``zlib`` inflates IDAT). Returns an H×W×C
+    uint8 array (C=1 for PGM/gray). Raises ``NotImplementedError``
+    only for codecs that truly need an external library (JPEG; PNG
+    palette/16-bit/interlaced variants) and ``ValueError`` for
+    malformed/unknown bytes.
     """
     if payload is None or len(payload) < 2:
         raise ValueError("empty or truncated payload")
@@ -66,10 +72,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_pnm(payload)
     if magic == b"BM":
         return _decode_bmp24(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if magic == b"\xff\xd8":
         raise NotImplementedError(
-            "PNG/JPEG decoding requires an external codec library "
-            "(PIL/libvips) — not available in this environment"
+            "JPEG decoding requires an external codec library "
+            "(PIL/libjpeg) — not available in this environment"
         )
     raise ValueError(f"unrecognized image magic: {magic!r}")
 
@@ -88,6 +96,13 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
         tokens.append(int(m.group(1)))
         pos += m.end()
     width, height, maxval = tokens
+    if width <= 0 or height <= 0 or maxval < 1:
+        # zero-dim headers would yield an empty array and crash the
+        # downstream stats reduction with an undiagnosable error (r6
+        # advice): fail with the documented error class instead
+        raise ValueError(
+            f"invalid netpbm dimensions {width}x{height} maxval={maxval}"
+        )
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
     pos += 1  # single whitespace after maxval
@@ -114,6 +129,8 @@ def _decode_bmp24(payload: bytes) -> np.ndarray:
         )
     bottom_up = height > 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     row_bytes = (width * 3 + 3) & ~3
     need = pixel_off + row_bytes * height
     if len(payload) < need:
@@ -123,6 +140,184 @@ def _decode_bmp24(payload: bytes) -> np.ndarray:
     ).reshape(height, row_bytes)[:, : width * 3]
     img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
     return img[::-1] if bottom_up else img
+
+
+# PNG color_type -> samples per pixel (8-bit, non-palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG via stdlib ``zlib``: signature + chunk
+    walk (CRC-verified), IHDR validation, concatenated-IDAT inflate,
+    then per-scanline unfilter (types 0-4: None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Gray / gray+alpha / RGB / RGBA; palette, 16-bit, and
+    Adam7 interlace raise NotImplementedError."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    pos = 8
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"PLTE":
+            raise NotImplementedError("palette PNG not supported")
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_iend:
+        raise ValueError("missing IHDR or IEND chunk")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/GA/RGB/RGBA PNG supported "
+            f"(bit_depth={bit_depth}, color_type={color_type})"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = prev = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out.reshape(height, width, channels)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal deterministic PNG encoder (asset synthesis + round-trip
+    tests): 8-bit gray/GA/RGB/RGBA, non-interlaced, every scanline
+    filtered with the SAME ``filter_type`` (0-4) so tests can exercise
+    each unfilter path of :func:`_decode_png` in isolation."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    arr = arr.astype(np.uint8)
+    bpp = channels
+    stride = width * channels
+    prev = np.zeros(stride, dtype=np.int32)
+    filtered = bytearray()
+    for y in range(height):
+        line = arr[y].reshape(stride).astype(np.int32)
+        shifted = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 1:  # Sub
+            enc = line - shifted
+        elif filter_type == 2:  # Up
+            enc = line - prev
+        elif filter_type == 3:  # Average
+            enc = line - ((shifted + prev) >> 1)
+        elif filter_type == 4:  # Paeth
+            prev_shift = np.concatenate(
+                [np.zeros(bpp, dtype=np.int32), prev[:-bpp]]
+            )
+            p = shifted + prev - prev_shift
+            pa = np.abs(p - shifted)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - prev_shift)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                shifted,
+                np.where(pb <= pc, prev, prev_shift),
+            )
+            enc = line - pred
+        else:
+            raise ValueError(f"invalid PNG filter type {filter_type}")
+        filtered.append(filter_type)
+        filtered += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_encoder_udf(height: int, width: int, channels: int):
+    """Arrow-vectorized ``pandas_udf`` factory: (raw pixel bytes,
+    per-row filter type) -> encoded PNG payload of the given fixed
+    shape. Lives here (not at call sites) so the pandas type hints
+    resolve against this module's globals."""
+
+    @F.pandas_udf("binary")
+    def to_png(px: pd.Series, ftype: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_png(
+                    np.frombuffer(bytes(b), dtype=np.uint8).reshape(
+                        height, width, channels
+                    ),
+                    filter_type=int(f),
+                )
+                for b, f in zip(px, ftype)
+            ]
+        )
+
+    return to_png
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
@@ -259,7 +454,7 @@ def extract_features(
     ``mapInPandas`` stage. Input schema: schemas.MULTIMODAL_ASSET.
 
     ``try_real=True`` routes each payload through :func:`decode_image`
-    first (real pixel features for PPM/PGM/BMP), falling back to the
+    first (real pixel features for PPM/PGM/BMP/PNG), falling back to the
     md5 pseudo-feature (``fake_decode=True``) or raising for payloads
     no stdlib codec can parse. The default keeps the historical
     fake-only behavior so existing oracle hashes stay stable."""
@@ -308,7 +503,7 @@ DECODED_IMAGE_SCHEMA = StructType(
 
 def decode_images(assets: DataFrame) -> DataFrame:
     """REAL image decode to typed columns: every payload must parse via
-    :func:`decode_image` (PPM/PGM/BMP) — no fake fallback. Integer
+    :func:`decode_image` (PPM/PGM/BMP/PNG) — no fake fallback. Integer
     pixel stats (sum/min/max) are exact, so the result is hash-stable
     across engines and an oracle can recompute them from the same
     source bytes. Arrow-batched ``mapInPandas``, same 100 TB shape as

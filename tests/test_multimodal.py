@@ -100,12 +100,70 @@ def test_decode_image_bmp_matches_ppm():
 def test_decode_image_rejects_compressed_and_garbage():
     from movie_etl_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError, match="PNG/JPEG"):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0....")
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_image(b"\x89PNG\r\n\x1a\n")  # signature only, no chunks
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"GIF89a")
     with pytest.raises(ValueError):
         decode_image(_ppm(4, 4, range(12)))  # truncated pixel data
+    with pytest.raises(ValueError, match="invalid netpbm"):
+        decode_image(b"P6\n0 0\n255\n")  # zero-dim header (r6 advice)
+
+
+def test_decode_image_png_all_filter_types():
+    """Round-trip through the real encoder per filter type 0-4 and per
+    color type (gray/GA/RGB/RGBA): one wrong predictor byte anywhere
+    breaks exact pixel equality."""
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(42)
+    for channels in (1, 2, 3, 4):
+        for ftype in range(5):
+            arr = rng.integers(0, 256, size=(7, 5, channels), dtype=np.uint8)
+            got = decode_image(encode_png(arr, filter_type=ftype))
+            assert got.shape == arr.shape, (channels, ftype)
+            assert (got == arr).all(), (channels, ftype)
+
+
+def test_decode_image_png_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(1)
+    good = encode_png(rng.integers(0, 256, (3, 3, 3), dtype=np.uint8))
+    # flip a byte inside IHDR body -> CRC check must catch it
+    bad = bytearray(good)
+    bad[16] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_image(bytes(bad))
+
+    def png_with_ihdr(bit_depth, color_type, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, interlace)
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="16"):
+        decode_image(png_with_ihdr(16, 2))
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        decode_image(png_with_ihdr(8, 3))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_image(png_with_ihdr(8, 2, interlace=1))
 
 
 def test_decode_images_operator_exact_stats(spark):
@@ -284,3 +342,34 @@ if HAVE_HYPOTHESIS:
         assert got_rate == rate
         assert frames.shape == (n_frames, channels)
         assert frames.ravel().tolist() == samples
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        channels=st.sampled_from([1, 2, 3, 4]),
+        ftype=st.integers(0, 4),
+        data=st.data(),
+    )
+    def test_png_roundtrip_property(w, h, channels, ftype, data):
+        """encode_png -> decode_image == identity for arbitrary sizes,
+        channel counts, pixel values, and filter types (the Paeth /
+        Average predictors are the classic off-by-one breeding ground)."""
+        import numpy as np
+
+        from movie_etl_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+        )
+
+        pixels = data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+        arr = np.array(pixels, dtype=np.uint8).reshape(h, w, channels)
+        got = decode_image(encode_png(arr, filter_type=ftype))
+        assert got.shape == (h, w, channels)
+        assert (got == arr).all()
