@@ -32,12 +32,32 @@ def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
     ``i*d + j`` is input bit ``i`` of dimension ``j`` — the canonical
     Morton / Z-curve encoding, built as a pure expression tree that
     Catalyst folds into one codegen stage.
+
+    Out-of-range input (negative, or >= 2**bits) raises at execution
+    time via ``raise_error`` rather than silently interleaving a
+    corrupt key: ``shiftright`` sign-extends negatives and high bits
+    above ``bits`` are dropped, so two distant points could otherwise
+    collide with no signal (r6 advice).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in cols]
     n = len(cols)
+    lim = 2**bits
+
+    def checked(c: Column) -> Column:
+        c = c.cast("long")
+        return F.when((c >= 0) & (c < lim), c).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"zorder_key input outside [0, {lim}): "),
+                    c.cast("string"),
+                )
+            ).cast("long")
+        )
+
+    cols = [checked(c) for c in cols]
     terms = [
         F.shiftleft(
-            F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+            F.shiftright(c, i).bitwiseAND(F.lit(1)),
             i * n + d,
         )
         for i in range(bits)

@@ -252,7 +252,11 @@ def stateful_user_counts(
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 2)))
+        # state keeps the UNROUNDED running total; rounding happens only
+        # at emit. Rounding into state would make cross-batch sums exact
+        # only while the source values stay exactly 2-decimal — a silent
+        # data-contract dependency (r6 advice)
+        state.update((n, total))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(

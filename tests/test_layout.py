@@ -94,3 +94,33 @@ def test_cluster_by_zorder_preserves_rows(spark, tmp_path):
     out = cluster_by_zorder(df, ["a", "b"], bits=6, num_partitions=4)
     assert out.columns == ["a", "b", "payload"]  # key dropped
     assert sorted(r.payload for r in out.collect()) == list(range(1000))
+
+
+def test_zorder_key_raises_on_out_of_range_input(spark):
+    """Negative or >= 2**bits input must fail loudly, not interleave a
+    silently corrupt key (shiftright sign-extends negatives; high bits
+    would be dropped) — r6 advice."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from movie_etl_spark.operators.layout import zorder_key
+
+    df = spark.range(4).select(
+        (F.col("id") - 2).alias("x"), F.col("id").alias("y")
+    )
+    with pytest.raises(Exception, match="zorder_key input outside"):
+        df.select(zorder_key(["x", "y"], bits=4).alias("z")).collect()
+    big = spark.range(4).select(
+        (F.col("id") + 20).alias("x"), F.col("id").alias("y")
+    )
+    with pytest.raises(Exception, match="zorder_key input outside"):
+        big.select(zorder_key(["x", "y"], bits=4).alias("z")).collect()
+    # in-range values still produce the canonical interleaving
+    ok = spark.createDataFrame([(3, 5)], "x long, y long")
+    row = ok.select(zorder_key(["x", "y"], bits=4).alias("z")).collect()[0]
+    # x=0b0011, y=0b0101 -> interleaved (y bit i at 2i+1, x bit i at 2i)
+    expected = sum(((3 >> i) & 1) << (2 * i) for i in range(4)) + sum(
+        ((5 >> i) & 1) << (2 * i + 1) for i in range(4)
+    )
+    assert row.z == expected

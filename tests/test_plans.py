@@ -86,17 +86,16 @@ def test_t3_winnowing_has_no_semantic_shuffle(spark):
 
 @needs_testdata
 def test_ap1_approx_within_sanity_band(spark):
-    """The sanity band ap1's docstring promises: approx_count_distinct
-    (rsd=0.02) lands within ±5% of the exact per-group cardinality.
-    HLL sketches are engine-specific so the driver runs a rows-only
-    check; this is the correctness evidence."""
+    """ap1's hash oracle rests on the within_5pct boolean being TRUE for
+    every group: assert it directly, and cross-check exact_customers
+    against an independent countDistinct."""
     from pyspark.sql import functions as F
 
     from movie_etl_spark.session import load_table
 
     o = load_table(spark, TESTDATA_SF0001, "orders")
-    approx = {
-        r.priority: r.approx_customers
+    got = {
+        r.priority: r
         for r in QUERIES["ap1_approx_count_distinct"].fn(
             spark, TESTDATA_SF0001
         ).collect()
@@ -107,18 +106,18 @@ def test_ap1_approx_within_sanity_band(spark):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+        assert got[k].exact_customers == n, (k, got[k], n)
+        assert got[k].within_5pct is True, (k, got[k])
 
 
 def test_catalog_registry_is_consistent():
-    """Driver-contract hygiene: every query has a doc, every oracle is
-    non-empty SQL, and the only rows-only entry (oracle=None) is the one
-    documented exception (HLL sketches are engine-specific; st3 gained a
-    final-state oracle in r6)."""
+    """Driver-contract hygiene: every query has a doc and a non-empty SQL
+    oracle — since ap1 gained its accuracy-contract oracle (r7) there are
+    ZERO rows-only entries left."""
     rows_only = {name for name, qd in QUERIES.items() if qd.oracle is None}
-    assert rows_only == {"ap1_approx_count_distinct"}
+    assert rows_only == set()
     for name, qd in QUERIES.items():
         assert qd.doc, name
         if qd.oracle is not None:
