@@ -10,6 +10,17 @@ JSON line::
 Each query executes end-to-end through the noop sink (full plan runs,
 nothing collected to the driver — the 100 TB-shaped measurement: we
 time the distributed execution, not a driver-side materialization).
+
+Output-size contract (r6 lesson): the driver captures only the TAIL of
+stdout, and BENCH_r06.json lost its first ~20 per-query timings to that
+window ("parsed": null). The line is therefore emitted maximally
+compact — ``separators=(",", ":")`` and 2-decimal times — and the full
+3-decimal dict is also written to ``BENCH_LOCAL.json`` in-repo so the
+builder always has the lossless record.
+
+Failure contract: if any query errors, ``value`` is null (plus
+``n_failed``/``errors`` fields) — a partial sum must never read as a
+round-over-round speedup (ADVICE r6).
 """
 
 from __future__ import annotations
@@ -48,9 +59,15 @@ def main() -> None:
     # per-query isolation: one broken query must not zero the whole
     # round's perf signal (r5 lesson: a single streaming failure crashed
     # the run and left BENCH_r05.json with rc=1 and no timing data)
+    # optional argv subset (e.g. the sf1 scale-curve run benches only
+    # the 10 heaviest queries); default = full catalog
+    selected = set(sys.argv[1:])
+    to_run = {
+        n: q for n, q in QUERIES.items() if not selected or n in selected
+    }
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, qd in QUERIES.items():
+    for name, qd in to_run.items():
         t0 = time.perf_counter()
         try:
             qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -66,14 +83,28 @@ def main() -> None:
 
     out = {
         "metric": "catalog_total_wall",
-        "value": round(sum(times.values()), 3),
+        "value": None if errors else round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf_from_dir(SF_DIR),
     }
     if errors:
+        out["n_failed"] = len(errors)
         out["errors"] = errors
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    # stdout line stays inside the driver's tail-capture window: compact
+    # separators, 2-decimal times, and query keys shortened to their
+    # unique id prefix ("dd3_minhash_near_dups" -> "dd3"; full names
+    # live in BENCH_LOCAL.json) — ~4x smaller than the r6 line
+    short = {k.split("_", 1)[0]: k for k in times}
+    if len(short) == len(times):  # prefixes are unique ids by convention
+        q_out = {s: round(times[k], 2) for s, k in short.items()}
+    else:  # collision safety net: fall back to full names
+        q_out = {k: round(v, 2) for k, v in times.items()}
+    compact = dict(out, queries=q_out)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

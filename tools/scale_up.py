@@ -1,0 +1,125 @@
+"""Synthesize a larger scale factor from an existing testdata dir.
+
+Usage::
+
+    python tools/scale_up.py SRC_DIR DST_DIR FACTOR
+
+The driver only ships sf{0.001,0.01,0.1}; the 100 TB scale claims in
+BASELINE.md need at least one measured decade, so this tool builds an
+sf1-equivalent from sf0.1 by writing FACTOR independent "replicas" of
+each table with disjoint key spaces. The point is a SCALING measurement
+substrate, so each replica must be statistically equivalent to the
+original yet not create cross-replica artifacts:
+
+- ``documents``: doc_id offset per replica; every token salted with the
+  replica id. Salting bijectively renames each replica's shingle space,
+  so the WITHIN-replica near-duplicate structure (what dd3/dd4/cc1
+  measure) is preserved exactly while replicas stay disjoint — naive
+  copies would put every doc in a FACTOR-sized near-dup clique and make
+  candidate-pair counts scale quadratically for data reasons, not plan
+  reasons.
+- ``embeddings``: vec_id offset; elementwise deterministic ±1 sign
+  pattern per replica. dot(s∘a, s∘b) == dot(a, b), so intra-replica
+  cosine geometry (dd6/dd8/v3's subject) is preserved EXACTLY; cross-
+  replica cosines are scrambled to noise.
+- ``events``: user_id offset (ts/value untouched — watermark and state
+  machinery see FACTOR× keys and rows).
+- ``lineitem``: l_orderkey/l_partkey/l_suppkey offset per replica →
+  gr1's bipartite graph becomes FACTOR disjoint replicas (FACTOR× nodes
+  and edges, same degree distribution).
+- every other table: plain copy (dims don't need to scale).
+
+Replica 0 is byte-identical to the source, so sf_factor=1 is a no-op
+round trip.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from movie_etl_spark.session import get_spark, load_table  # noqa: E402
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _offset(df: DataFrame, col: str, i: int, step: int) -> DataFrame:
+    return df.withColumn(col, (F.col(col) + F.lit(i * step)).cast("long"))
+
+
+def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
+    df = load_table(spark, src, table)
+    if i == 0 or table not in ("documents", "embeddings", "events", "lineitem"):
+        return df
+    if table == "documents":
+        df = _offset(df, "doc_id", i, 1_000_000)
+        return df.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit(f"~r{i}")),
+                ),
+                " ",
+            ),
+        )
+    if table == "embeddings":
+        df = _offset(df, "vec_id", i, 1_000_000)
+        return df.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, k: (
+                    x
+                    * F.when(
+                        F.pmod(F.hash(k, F.lit(i)), F.lit(2)) == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0))
+                ).cast("float"),
+            ),
+        )
+    if table == "events":
+        return _offset(df, "user_id", i, 1_000_000)
+    # lineitem: disjoint graph + join keys per replica
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        df = _offset(df, c, i, 10_000_000)
+    return df
+
+
+def main() -> None:
+    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    spark = get_spark("scale-up")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(dst, exist_ok=True)
+    scaled = {"documents", "embeddings", "events", "lineitem"}
+    for table in TABLES:
+        if not os.path.exists(os.path.join(src, f"{table}.parquet")):
+            continue
+        n = factor if table in scaled else 1  # dims don't replicate
+        parts = [_replica(spark, src, table, i) for i in range(n)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # one flat parquet dir per table (load_table reads dirs fine)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
+        print(f"{table}: x{factor} written", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
