@@ -1285,6 +1285,78 @@ def q_gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node_id", F.col("rank").alias("pr"))
 
 
+# iteration template WITH dangling-mass redistribution: share =
+# (rank mass sitting on zero-out-degree nodes) // n_nodes, folded into
+# every node's damped term — the same exact integer recurrence
+# graph_algos.pagerank_fixed_point(redistribute_dangling=True) runs
+_PAGERANK_DANG_ITER_SQL = """
+i{n} AS (SELECT e.dst, sum(r.pr // d.deg) AS inc
+       FROM edges e JOIN r{p} r ON r.src = e.src JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+s{n} AS (SELECT coalesce(sum(CASE WHEN d.deg = 0 THEN r.pr END), 0)
+              // (SELECT count(*) FROM deg) AS share
+       FROM r{p} r JOIN deg d ON d.src = r.src),
+r{n} AS (SELECT deg.src,
+               CAST(150000 + (17 * (coalesce(i.inc, 0)
+                                    + (SELECT share FROM s{n}))) // 20
+                    AS BIGINT) AS pr
+       FROM deg LEFT JOIN i{n} i ON i.dst = deg.src)"""
+
+
+@register(
+    "gr2_pagerank_dangling",
+    """
+    WITH edges AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS src,
+                      CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+      UNION SELECT DISTINCT dst AS id FROM edges
+    ),
+    deg AS (
+      SELECT n.id AS src, count(e.src) AS deg
+      FROM nodes n LEFT JOIN edges e ON e.src = n.id
+      GROUP BY n.id
+    ),
+    r0 AS (SELECT src, CAST(1000000 AS BIGINT) AS pr FROM deg),"""
+    + ",".join(_PAGERANK_DANG_ITER_SQL.format(n=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT src AS node_id, pr FROM r3
+    """,
+    doc="PageRank on the DIRECTED part->supplier graph, where every "
+    "supplier is a sink (no out-edges): dangling-node rank mass is "
+    "redistributed evenly across all nodes each iteration "
+    "(graph_algos.pagerank_fixed_point(nodes=..., "
+    "redistribute_dangling=True)) — the standard mass-conserving "
+    "correction, computed as a 1-row broadcast aggregate, never a "
+    "driver collect. Same fixed-point integer arithmetic as gr1, so "
+    "the unrolled oracle (per-iteration dangling share = "
+    "sum(rank over deg==0) div n) hash-matches bit-for-bit. "
+    "Complements gr1, which symmetrizes the graph away from the "
+    "dangling case",
+)
+def q_gr2_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.graph_algos import pagerank_fixed_point
+
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    )
+    pr = pagerank_fixed_point(
+        edges, iterations=3, nodes=nodes, redistribute_dangling=True
+    )
+    return pr.select("node_id", F.col("rank").alias("pr"))
+
+
 def _zorder_oracle_expr(dims: list[str], bits: int = 8) -> str:
     """The DuckDB twin of operators.layout.zorder_key: identical bit
     interleaving as one OR-chain of shift/and terms."""
@@ -3557,6 +3629,7 @@ def q_dd8_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_PRIORITY: list[str] = [
     # -- new this round (r7): never driver-verified -------------------------
     "mm5_png_decode",
+    "gr2_pagerank_dangling",
     # -- changed this round: MUST re-verify (rotation policy) ---------------
     "ap1_approx_count_distinct",  # upgraded rows-only -> full hash oracle
     "gr1_pagerank",  # invariant deg join hoisted out of the loop
