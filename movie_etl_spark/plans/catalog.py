@@ -2092,6 +2092,88 @@ def q_st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st7_stream_outer_join",
+    """
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+    e AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'error'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM e))
+                  - INTERVAL 1 MINUTE AS w)
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           e.event_id AS error_id, e.ts AS error_ts
+    FROM c JOIN e
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           CAST(NULL AS BIGINT) AS error_id,
+           CAST(NULL AS TIMESTAMP) AS error_ts
+    FROM c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM e
+      WHERE e.user_id = c.user_id
+        AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
+    ) AND c.ts < (SELECT w FROM wm)
+    """,
+    doc="stream-stream LEFT OUTER join with watermarked state eviction — "
+    "the streaming shape whose semantics genuinely differ from batch: "
+    "an unmatched left row emits its null-padded result only once the "
+    "global watermark (min over both sides of max(ts) - delay) passes "
+    "its event time, because until then a matching right row could "
+    "still arrive. The oracle replicates the eviction rule exactly "
+    "(inner matches UNION unmatched-left WHERE ts < final watermark), "
+    "so the hash pins BOTH the join result and the eviction semantics "
+    "— emitting nulls too early (batch semantics) or not at all "
+    "(inner-join degradation, what a span-wide watermark would "
+    "silently cause) each breaks it. Same "
+    "streaming.events.stream_stream_range_join operator as st5 with "
+    "how='left_outer' and a deliberately narrow 1-minute watermark; "
+    "single-batch availableNow means no row is dropped as late on "
+    "input, isolating the output-side watermark effect",
+)
+def q_st7_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from movie_etl_spark.streaming.events import stream_stream_range_join
+
+    events = _t(spark, sf_dir, "events")
+    staged = _events_staging_dir(sf_dir)  # shared with st3/st5
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        events.write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+
+    def side(etype: str):
+        return (
+            _event_time(spark.readStream.schema(schema).parquet(staged))
+            .filter(F.col("event_type") == etype)
+            .select("user_id", "event_id", "ts")
+        )
+
+    joined = stream_stream_range_join(
+        side("click"), side("error"),
+        range_duration="6 hours",
+        watermark="1 minute",  # narrow on purpose: see operator doc
+        how="left_outer",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("r.ts").alias("error_ts"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("st7_outer_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("st7_outer_join")
+
+
+@register(
     "u1_udtf_ngrams",
     f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
@@ -3630,6 +3712,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- new this round (r7): never driver-verified -------------------------
     "mm5_png_decode",
     "gr2_pagerank_dangling",
+    "st7_stream_outer_join",
     # -- changed this round: MUST re-verify (rotation policy) ---------------
     "ap1_approx_count_distinct",  # upgraded rows-only -> full hash oracle
     "gr1_pagerank",  # invariant deg join hoisted out of the loop
@@ -3678,11 +3761,11 @@ DRIVER_PRIORITY: list[str] = [
     "v3_ivf_top_k",
     "w1_latest_order_per_customer",
     "w2_running_sum",
-    # -- r6-green representatives filling the 50-query window --------------
+    # -- r6-green representatives filling the 50-query window (st5's slot
+    #    went to st7, which drives the same stream-stream machinery) -------
     "s1_discover",
     "g1_clean_explode_edges",
     "dd3_minhash_near_dups",
-    "st5_stream_stream_join",
 ]
 
 

@@ -166,8 +166,9 @@ def stream_stream_range_join(
     range_duration: str = "6 hours",
     watermark: str = "7 days",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``user_id`` with a time-range bound:
+    """Stream-stream join on ``user_id`` with a time-range bound:
     left rows join right rows where ``left.ts >= right.ts`` and
     ``left.ts < right.ts + range_duration``.
 
@@ -176,16 +177,28 @@ def stream_stream_range_join(
     only until the watermark passes the range bound — bounded state for
     an unbounded join.
 
+    ``how="left_outer"`` additionally emits a null-padded row for every
+    unmatched left row — but only once the GLOBAL watermark
+    (min over both sides of ``max(ts) - watermark``) passes the row's
+    event time, because until then a matching right row could still
+    arrive. This is the part batch intuition gets wrong: at any finite
+    point (including the end of an availableNow backfill) left rows
+    younger than the final watermark are still in state and have NOT
+    produced their null row. The catalog's st7 oracle replicates
+    exactly that eviction rule.
+
     ``watermark`` is the state-retention knob and MUST be sized for the
     deployment, not hard-coded: per side,
     ``state ≈ input rate × (watermark + range_duration) × row size``.
     The 7-day default suits a live deployment that tolerates up to a
     week of disorder (e.g. 1k events/s × (7d + 6h) × ~50 B ≈ 31 GB of
-    state per side, spread across executors). A bounded BACKFILL should
-    instead pass a watermark wider than the full ts span of the data
-    (the catalog's st5 uses "365 days") so no unordered historical row
-    is dropped as late — availableNow tears all state down at the end,
-    so the wide setting costs nothing there.
+    state per side, spread across executors). For a bounded BACKFILL of
+    an INNER join, pass a watermark wider than the data's ts span (the
+    catalog's st5 uses "365 days") so no unordered historical row is
+    dropped as late; for an OUTER backfill the watermark must instead
+    be NARROW (st7 uses "1 minute"), because null rows only emit below
+    the final watermark — a span-wide delay would suppress all of them
+    and silently degrade the result to the inner join.
     """
     l_wm = left.withWatermark(ts_col, watermark).alias("l")
     r_wm = right.withWatermark(ts_col, watermark).alias("r")
@@ -195,6 +208,7 @@ def stream_stream_range_join(
             f"l.user_id = r.user_id AND l.{ts_col} >= r.{ts_col} "
             f"AND l.{ts_col} < r.{ts_col} + INTERVAL {range_duration}"
         ),
+        how,
     )
 
 

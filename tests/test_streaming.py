@@ -303,3 +303,58 @@ def test_incremental_above_watermark(spark):
     # strictness: empty staging -> NULL mark -> nothing loads
     empty = src.filter("ts < 0")
     assert incremental_above_watermark(src, empty, "ts").count() == 0
+
+
+def test_stream_outer_join_eviction_semantics(spark, tmp_path):
+    """Left-outer stream-stream join on a hand-built corpus: unmatched
+    left rows must emit their null row IFF the final global watermark
+    (min over both sides of max(ts) - delay) passed their event time.
+    Pins the exact rule st7's oracle encodes."""
+    import pyspark.sql.functions as F
+
+    from movie_etl_spark.streaming.events import stream_stream_range_join
+
+    rows = [
+        # (user, event_id, ts, type)
+        (1, 10, "2026-01-01 00:00:00", "click"),   # matched by error 20
+        (1, 20, "2026-01-01 00:00:00", "error"),
+        (2, 11, "2026-01-01 01:00:00", "click"),   # unmatched, old -> null row
+        (3, 12, "2026-01-01 23:59:30", "click"),   # unmatched, young (within
+                                                   # 1 min of global wm base)
+        (4, 21, "2026-01-02 00:00:00", "error"),   # right max sets global wm
+        (5, 13, "2026-01-03 00:00:00", "click"),   # left max; unmatched but
+                                                   # ABOVE global wm -> no null
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    staged = str(tmp_path / "events_outer")
+    df.write.parquet(staged)
+    schema = spark.read.parquet(staged).schema
+
+    def side(etype):
+        return (
+            spark.readStream.schema(schema).parquet(staged)
+            .filter(F.col("event_type") == etype)
+            .select("user_id", "event_id", "ts")
+        )
+
+    joined = stream_stream_range_join(
+        side("click"), side("error"),
+        range_duration="6 hours", watermark="1 minute", how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("outer_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.click_id, r.error_id) for r in spark.table("outer_test").collect()}
+
+    # global wm = min(max click ts, max error ts) - 1 min
+    #           = min(2026-01-03, 2026-01-02) - 1 min = 2026-01-01 23:59:00
+    # clicks 11 (01:00) and 12 (23:59:30)... 12 is ABOVE wm -> stays in
+    # state; 13 (01-03) above wm -> stays in state; 11 emits null row
+    assert got == {(10, 20), (11, None)}
