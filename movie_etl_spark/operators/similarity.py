@@ -231,3 +231,65 @@ def ivf_top_k(
         )
     )
     return _ranked_top_k(scored, k)
+
+
+def int8_rerank_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Quantized-rerank ANN — the production two-stage shape: coarse
+    sign-LSH candidate generation (bucket equi-join, no cross product)
+    followed by EXACT scoring over int8 codes. The rerank score is the
+    integer dot product ``sum(q_code[i] * c_code[i])`` — order-
+    independent integer math, so results are bit-deterministic across
+    engines and partitionings (the same reason gr1 uses fixed-point).
+
+    At 100 TB this is the memory story, not just a speed story: the
+    rerank stage touches 4x-smaller int8 codes instead of float32
+    vectors, and the bucket join bounds how many it touches. Zero-norm
+    vectors are filtered (no quantization scale exists for them),
+    matching v4's contract.
+    """
+    from movie_etl_spark.functions.vectors import int8_quantize, max_abs
+
+    def quantized(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                sign_bucket(vec_col, n_planes).alias("bucket"),
+                F.col(vec_col).alias("_v"),
+                (max_abs(vec_col) / F.lit(127.0)).alias("_s"),
+            )
+            .filter(F.col("_s") > 0)
+            .withColumn(f"{prefix}_codes", int8_quantize("_v", F.col("_s")))
+            .drop("_v", "_s")
+        )
+
+    q = quantized(ensure_parallelism(queries), "query")
+    c = quantized(corpus, "neighbor")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("query_codes"),
+            F.col("neighbor_codes"),
+            lambda x, y: (x * y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", dot)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )

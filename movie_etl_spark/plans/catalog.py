@@ -3243,6 +3243,57 @@ def q_v4_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "v6_int8_rerank",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               / 127.0 AS s,
+             {bucket} AS bucket
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id, bucket,
+             list_transform(e, x -> CAST(round(x / s) AS INT)) AS codes
+      FROM base WHERE s > 0
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(q.codes) + 1),
+                   i -> CAST(q.codes[i] AS BIGINT) * c.codes[i]))
+                  AS BIGINT) AS dot
+      FROM qz q JOIN qz c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % 20 = 0
+    )
+    SELECT query_id, neighbor_id, dot,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored QUALIFY rank <= 3
+    """.format(
+        bucket=" || ".join(
+            f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+            for i in range(8)
+        )
+    ),
+    doc="quantized-rerank ANN (operators.similarity.int8_rerank_top_k) — "
+    "the production two-stage shape: coarse sign-LSH candidates via "
+    "bucket equi-join, then EXACT rerank by integer dot product over "
+    "int8 codes (v4's quantization). Integer scores are order-"
+    "independent, so unlike float cosine the rerank is bit-"
+    "deterministic and the oracle hash-checks the scores themselves, "
+    "not a rounding of them. At 100 TB the rerank touches 4x-smaller "
+    "codes and only within-bucket candidates. Query side bounded to "
+    "vec_id%20=0 (bounded like v1, wide enough to exercise many buckets)",
+)
+def q_v6_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.similarity import int8_rerank_top_k
+
+    e = _t(spark, sf_dir, "embeddings")
+    return int8_rerank_top_k(
+        e.filter(F.col("vec_id") % 20 == 0), e, k=3
+    )
+
+
+@register(
     "cp6_temperature_mix",
     """
     WITH d AS (
@@ -3713,6 +3764,7 @@ DRIVER_PRIORITY: list[str] = [
     "mm5_png_decode",
     "gr2_pagerank_dangling",
     "st7_stream_outer_join",
+    "v6_int8_rerank",
     # -- changed this round: MUST re-verify (rotation policy) ---------------
     "ap1_approx_count_distinct",  # upgraded rows-only -> full hash oracle
     "gr1_pagerank",  # invariant deg join hoisted out of the loop
@@ -3761,11 +3813,11 @@ DRIVER_PRIORITY: list[str] = [
     "v3_ivf_top_k",
     "w1_latest_order_per_customer",
     "w2_running_sum",
-    # -- r6-green representatives filling the 50-query window (st5's slot
-    #    went to st7, which drives the same stream-stream machinery) -------
+    # -- r6-green representatives filling the 50-query window (st5's and
+    #    dd3's slots went to the new st7/v6, which drive the same
+    #    stream-stream / embedding machinery) ------------------------------
     "s1_discover",
     "g1_clean_explode_edges",
-    "dd3_minhash_near_dups",
 ]
 
 

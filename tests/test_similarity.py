@@ -133,3 +133,33 @@ def test_lsh_multiprobe_recall_on_clustered_corpus(spark):
     r_single, r_multi = recall(0), recall(1)
     assert r_multi >= 0.8, (r_single, r_multi)
     assert r_multi > r_single
+
+
+def test_int8_rerank_exact_integer_scores(spark):
+    """Hand-computable corpus, all in one sign bucket: quantization
+    codes and integer dot products must match exact arithmetic, and
+    ranking must follow (dot desc, neighbor_id asc)."""
+    from movie_etl_spark.operators.similarity import int8_rerank_top_k
+
+    # 8 leading dims decide the bucket; all non-negative -> '11111111'
+    # scale = max|v|/127; v built so codes are exact: v = c * (127/127)=c
+    rows = [
+        (0, [127.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [127.0, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (2, [127.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 127.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dot)
+        for r in int8_rerank_top_k(
+            df.filter("vec_id = 0"), df, k=3
+        ).collect()
+    }
+    # codes == round(v/ (127/127)) == v as ints; dots vs query [127,1,...]:
+    #   n1: 127*127 + 1*2 = 16131; n2: 127*127 = 16129; n3: 1*127 = 127
+    assert out == {
+        (0, 1): (1, 16131),
+        (0, 2): (2, 16129),
+        (0, 3): (3, 127),
+    }
