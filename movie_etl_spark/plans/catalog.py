@@ -2513,6 +2513,48 @@ def q_ap2_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ap3_approx_percentile",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           TRUE AS rank_within_1pct
+    FROM orders GROUP BY 1
+    """,
+    doc="approx percentile with its accuracy CONTRACT hash-checked, the "
+    "ap1 pattern applied to percentile_approx: the sketch VALUE is "
+    "engine-specific, but its rank-error guarantee (accuracy=1000 -> "
+    "rank error <= n/1000) is not. The query computes the approx "
+    "median, joins it back (5-row broadcast) to count its actual rank "
+    "in each group, and returns a boolean asserting "
+    "|rank - 0.5n| <= max(1, 1% of n); the oracle returns literal "
+    "TRUE. A sketch drifting outside its guarantee breaks the hash",
+)
+def q_ap3_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice"
+    )
+    approx = o.groupBy("priority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias(
+            "_ap50"
+        )
+    )
+    joined = o.join(F.broadcast(approx), "priority")
+    return joined.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= F.col("_ap50"), 1).otherwise(0)
+        ).alias("_rk"),
+    ).select(
+        "priority",
+        "n_orders",
+        (
+            F.abs(F.col("_rk") - 0.5 * F.col("n_orders"))
+            <= F.greatest(F.lit(1.0), 0.01 * F.col("n_orders"))
+        ).alias("rank_within_1pct"),
+    )
+
+
+@register(
     "hh1_heavy_hitters",
     f"""
     SELECT tok, count(*) AS cnt
@@ -3765,6 +3807,7 @@ DRIVER_PRIORITY: list[str] = [
     "gr2_pagerank_dangling",
     "st7_stream_outer_join",
     "v6_int8_rerank",
+    "ap3_approx_percentile",
     # -- changed this round: MUST re-verify (rotation policy) ---------------
     "ap1_approx_count_distinct",  # upgraded rows-only -> full hash oracle
     "gr1_pagerank",  # invariant deg join hoisted out of the loop
@@ -3813,11 +3856,10 @@ DRIVER_PRIORITY: list[str] = [
     "v3_ivf_top_k",
     "w1_latest_order_per_customer",
     "w2_running_sum",
-    # -- r6-green representatives filling the 50-query window (st5's and
-    #    dd3's slots went to the new st7/v6, which drive the same
-    #    stream-stream / embedding machinery) ------------------------------
+    # -- r6-green representative filling the 50-query window (st5/dd3/g1
+    #    slots went to the new st7/v6/ap3; displaced veterans stay benched
+    #    and selfchecked, and rotate back next round) -----------------------
     "s1_discover",
-    "g1_clean_explode_edges",
 ]
 
 
