@@ -91,8 +91,11 @@ def main() -> None:
     if errors:
         out["n_failed"] = len(errors)
         out["errors"] = errors
+    # full-catalog runs own BENCH_LOCAL.json (the committed lossless
+    # record); subset runs must not clobber it
+    local = "BENCH_LOCAL.json" if not selected else "BENCH_SUBSET.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as f:
+                           local), "w") as f:
         json.dump(out, f, indent=1)
     # stdout line stays inside the driver's tail-capture window: compact
     # separators, 2-decimal times, and query keys shortened to their
