@@ -3567,6 +3567,102 @@ def q_w3_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cc2_fingerprint_decontam",
+    f"""
+    WITH norm AS (SELECT doc_id, {_SQL_NORM} AS s FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(length(s) - 6, 0) + 1),
+               i -> {{'pos': i, 'gram': substr(s, i, 7)}})) AS t
+      FROM norm
+    ),
+    g AS (
+      SELECT doc_id, t.pos AS pos,
+             CAST(concat('0x', substr(md5(t.gram), 1, 8)) AS BIGINT) AS h
+      FROM g0
+    ),
+    sized AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    wmin AS (
+      SELECT g.doc_id, g.pos, s.n,
+             min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      FROM g JOIN sized s ON s.doc_id = g.doc_id
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n - 7)
+    SELECT c.doc_id, b.doc_id AS bench_id,
+           CAST(count(DISTINCT c.fp) AS BIGINT) AS n_shared_fps
+    FROM fps c JOIN fps b ON c.fp = b.fp
+    WHERE b.doc_id % 100 = 0 AND c.doc_id % 100 <> 0
+    GROUP BY 1, 2 HAVING count(DISTINCT c.fp) >= 2
+    """,
+    doc="substring-level benchmark decontamination via winnowing "
+    "fingerprint overlap — the stricter complement to cc1's bag-of-"
+    "grams check: two docs share a fingerprint only if they share a "
+    "verbatim normalized substring >= 14 chars (MOSS guarantee from "
+    "t3's k=7/window=8 parameters), so this catches verbatim test-set "
+    "leakage that token-overlap scoring under-weights. One fingerprint "
+    "pass over the corpus (t3's shuffle-free rolling machinery), then "
+    "a join against the BOUNDED bench fingerprint set — benchmarks are "
+    "small by nature, so at 100 TB this side broadcasts and the corpus "
+    "never reshuffles (functions.text.winnowed_fingerprints)",
+)
+def q_cc2_fingerprint_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.functions.text import winnowed_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(d, "text", "doc_id", k=7, window=8)
+    bench = fps.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "fp"
+    )
+    corpus = fps.filter(F.col("doc_id") % 100 != 0)
+    return (
+        corpus.join(bench, "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count_distinct("fp").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 2)
+    )
+
+
+@register(
+    "w4_interval_range_window",
+    """
+    SELECT event_id, user_id, ts,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS sum_1h
+    FROM events
+    """,
+    doc="interval RANGE window: per-user sliding 1-hour sum — the "
+    "value-bounded frame (RANGE BETWEEN INTERVAL ... PRECEDING) that "
+    "row-count frames (w2) cannot express. Spark's rangeBetween needs "
+    "a numeric order key, so the frame runs over unix_timestamp(ts) "
+    "with (-3600, 0) — second-exact equivalent of the oracle's "
+    "interval bound, tie rows (RANGE peers) included identically in "
+    "both engines. DECIMAL-exact summation then double, immune to "
+    "float order. Partitioned window: state scales with users, not "
+    "corpus",
+)
+def q_w4_interval_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ).alias("sum_1h"),
+    )
+
+
+@register(
     "k8_incremental_watermark",
     """
     SELECT event_id, ts, user_id, event_type, value
@@ -3808,6 +3904,8 @@ DRIVER_PRIORITY: list[str] = [
     "st7_stream_outer_join",
     "v6_int8_rerank",
     "ap3_approx_percentile",
+    "cc2_fingerprint_decontam",
+    "w4_interval_range_window",
     # -- changed this round: MUST re-verify (rotation policy) ---------------
     "ap1_approx_count_distinct",  # upgraded rows-only -> full hash oracle
     "gr1_pagerank",  # invariant deg join hoisted out of the loop
@@ -3840,8 +3938,6 @@ DRIVER_PRIORITY: list[str] = [
     "j1_semi_join",
     "j3_broadcast_dim_join",
     "j5_fact_fact_join",
-    "k7_rollback",
-    "mm2_frame_sampling",
     "o1_top_k",
     "p1_pivot",
     "r1_explode_tokens",
@@ -3856,9 +3952,11 @@ DRIVER_PRIORITY: list[str] = [
     "v3_ivf_top_k",
     "w1_latest_order_per_customer",
     "w2_running_sum",
-    # -- r6-green representative filling the 50-query window (st5/dd3/g1
-    #    slots went to the new st7/v6/ap3; displaced veterans stay benched
-    #    and selfchecked, and rotate back next round) -----------------------
+    # -- r6-green representative filling the 50-query window. Displaced
+    #    to r8 for slot math (7 new queries this round): the former reps
+    #    st5/dd3/g1 plus aged k7_rollback and mm2_frame_sampling (both
+    #    carry dedicated pytest coverage: rollback cascade, frame fan-out).
+    #    Displaced veterans stay benched and selfchecked every round. ------
     "s1_discover",
 ]
 
