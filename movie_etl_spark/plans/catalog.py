@@ -3567,6 +3567,85 @@ def q_w3_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s8_python_datasource",
+    """
+    SELECT CAST(i // 250 AS INT) AS page,
+           i AS movie_id,
+           CAST((i * 37) % 101 AS INT) AS score,
+           md5(CAST(i AS VARCHAR)) AS title
+    FROM range(0, 1000) t(i)
+    WHERE (i * 37) % 101 >= 10
+    """,
+    doc="custom Python Data Source (Spark 4 DataSource API): the "
+    "reference's paged HTTP discover fetch (etl_task.py:30-76) "
+    "re-expressed as a first-class source — every API page is an "
+    "InputPartition fetched by executors in parallel, entering the "
+    "plan as a normal scan instead of driver-side loop code "
+    "(sources/pysource.py). Rows are a pure function of (page, index) "
+    "standing in for the HTTP body (no network in this sandbox; same "
+    "injection philosophy as sources/api.py), so the oracle re-derives "
+    "every value and hash-checks the whole source, and the discover "
+    "filter (vote floor, reference main.py:23) runs as a post-scan "
+    "predicate",
+)
+def q_s8_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.sources import pysource
+
+    pysource.register(spark)
+    return (
+        spark.read.format("movie_pages")
+        .option("pages", "4")
+        .option("per_page", "250")
+        .load()
+        .filter(F.col("score") >= 10)
+    )
+
+
+@register(
+    "f12_variant_json",
+    """
+    SELECT doc_id,
+           lang AS v_lang,
+           source AS v_source,
+           n_chars AS v_n_chars,
+           CAST(n_chars > 500 AS BOOLEAN) AS v_is_long,
+           CAST(NULL AS BIGINT) AS v_missing
+    FROM documents
+    """,
+    doc="semi-structured VARIANT columns (Spark 4's open-format binary "
+    "JSON type): each document's metadata is serialized to a JSON "
+    "string, parsed to VARIANT with parse_json, and fields extracted "
+    "back with typed variant_get paths ($.lang, $.meta.n_chars, a "
+    "computed boolean, and a missing path via try_variant_get -> "
+    "NULL). The oracle computes the same values straight from the "
+    "base columns, so a single mis-typed or mis-pathed extraction "
+    "breaks the hash. VARIANT is the 100 TB answer to schema-on-read "
+    "JSON columns: shredded binary encoding, no per-query re-parsing "
+    "of text JSON",
+)
+def q_f12_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    j = F.to_json(
+        F.struct(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.struct(F.col("n_chars"), F.col("source")).alias("meta"),
+        )
+    )
+    v = F.parse_json(j)
+    return d.select(
+        "doc_id",
+        F.variant_get(v, "$.lang", "string").alias("v_lang"),
+        F.variant_get(v, "$.meta.source", "string").alias("v_source"),
+        F.variant_get(v, "$.meta.n_chars", "bigint").alias("v_n_chars"),
+        (F.variant_get(v, "$.meta.n_chars", "bigint") > 500).alias(
+            "v_is_long"
+        ),
+        F.try_variant_get(v, "$.absent.path", "bigint").alias("v_missing"),
+    )
+
+
+@register(
     "cc2_fingerprint_decontam",
     f"""
     WITH norm AS (SELECT doc_id, {_SQL_NORM} AS s FROM documents),
@@ -3906,6 +3985,8 @@ DRIVER_PRIORITY: list[str] = [
     "ap3_approx_percentile",
     "cc2_fingerprint_decontam",
     "w4_interval_range_window",
+    "s8_python_datasource",
+    "f12_variant_json",
     # -- changed this round: MUST re-verify (rotation policy) ---------------
     "ap1_approx_count_distinct",  # upgraded rows-only -> full hash oracle
     "gr1_pagerank",  # invariant deg join hoisted out of the loop
@@ -3921,7 +4002,6 @@ DRIVER_PRIORITY: list[str] = [
     "ap2_exact_percentile",
     "c5_decode_map",
     "cp1_quality_filter",
-    "d1_anti_join",
     "d4_merge_dedup",
     "dd1_exact_dedup",
     "dd2_minhash_signatures",
@@ -3938,7 +4018,6 @@ DRIVER_PRIORITY: list[str] = [
     "j1_semi_join",
     "j3_broadcast_dim_join",
     "j5_fact_fact_join",
-    "o1_top_k",
     "p1_pivot",
     "r1_explode_tokens",
     "r4_group_collect",
@@ -3953,9 +4032,10 @@ DRIVER_PRIORITY: list[str] = [
     "w1_latest_order_per_customer",
     "w2_running_sum",
     # -- r6-green representative filling the 50-query window. Displaced
-    #    to r8 for slot math (7 new queries this round): the former reps
-    #    st5/dd3/g1 plus aged k7_rollback and mm2_frame_sampling (both
-    #    carry dedicated pytest coverage: rollback cascade, frame fan-out).
+    #    to r8 for slot math (9 new queries this round): the former reps
+    #    st5/dd3/g1 plus aged k7/mm2/o1/d1 (each with a dedicated pytest
+    #    backstop: rollback cascade, frame fan-out, TakeOrderedAndProject
+    #    plan assert, keep_new anti-join unit test).
     #    Displaced veterans stay benched and selfchecked every round. ------
     "s1_discover",
 ]

@@ -1,0 +1,72 @@
+"""Custom Python Data Source (Spark 4 DataSource API).
+
+The reference fetches its movie corpus from a paged HTTP discover API
+(`/root/reference/src/movie_etl/tasks/etl_task.py:30-76`, page loop at
+:46-66) — an inherently partition-parallel access pattern: every page
+is independent. Spark 4's Python DataSource API lets that shape be a
+first-class SOURCE instead of driver-side loop code: each page becomes
+an ``InputPartition``, pages are fetched BY EXECUTORS in parallel, and
+the result enters the plan as a normal scan (prunable, joinable,
+AQE-visible). At 100 TB-scale ingest this is the difference between a
+driver bottleneck and a distributed fetch.
+
+The deterministic row generator below stands in for the HTTP call
+(same injection philosophy as ``sources/api.py`` — this sandbox has no
+network): rows are a pure function of (page, index), so the DuckDB
+oracle can re-derive every value and hash-check the whole source.
+A real deployment swaps ``_page_rows`` for the HTTP fetch; the
+partitioning, schema, and registration machinery stay identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _page_rows(page: int, per_page: int) -> Iterator[tuple]:
+    """Deterministic stand-in for one discover-API page fetch."""
+    for i in range(per_page):
+        movie_id = page * per_page + i
+        yield (
+            page,
+            movie_id,
+            (movie_id * 37) % 101,
+            hashlib.md5(str(movie_id).encode()).hexdigest(),
+        )
+
+
+class MoviePagesDataSource(DataSource):
+    """``spark.read.format("movie_pages")`` — options: ``pages``
+    (number of page partitions, default 4) and ``per_page`` (rows per
+    page, default 250)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "movie_pages"
+
+    def schema(self) -> str:
+        return "page int, movie_id bigint, score int, title string"
+
+    def reader(self, schema) -> "MoviePagesReader":
+        return MoviePagesReader(self.options)
+
+
+class MoviePagesReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.pages = int(options.get("pages", "4"))
+        self.per_page = int(options.get("per_page", "250"))
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per API page: the unit of executor parallelism
+        return [InputPartition(p) for p in range(self.pages)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        yield from _page_rows(partition.value, self.per_page)
+
+
+def register(spark) -> None:
+    """Idempotent session registration."""
+    spark.dataSource.register(MoviePagesDataSource)
