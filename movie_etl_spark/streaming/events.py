@@ -217,6 +217,13 @@ def stateful_user_counts(
     timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
+
+    (Spark 4's successor API ``transformWithStateInPandas`` was probed
+    and does NOT run in this environment — its driver-side state-schema
+    handshake imports ``google.protobuf``, which is broken here and
+    cannot be installed. applyInPandasWithState is the supported
+    arbitrary-state path; revisit if the environment gains protobuf.)
+
     a per-user running event counter + value sum kept in explicit state,
     emitted on every update (the shape for custom session logic that
     built-in windows cannot express — e.g. conversion funnels,

@@ -209,3 +209,15 @@ def test_gr1_pagerank_is_equi_join_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     release_caches()
+
+
+def test_query_id_prefixes_are_unique():
+    """bench.py's driver-tail-window line keys queries by their id
+    prefix ("dd3_minhash_near_dups" -> "dd3"); a colliding prefix would
+    silently drop a timing from the compact line. Enforce uniqueness at
+    registration time."""
+    from movie_etl_spark.plans.catalog import QUERIES
+
+    prefixes = [n.split("_", 1)[0] for n in QUERIES]
+    dupes = {p for p in prefixes if prefixes.count(p) > 1}
+    assert not dupes, f"colliding query id prefixes: {dupes}"
