@@ -550,3 +550,76 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("asset_id", "frame_ts_ms", "mime_type")
     )
+
+
+PERCEPTUAL_HASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("ahash", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def perceptual_hash(arr: np.ndarray) -> tuple[int, int]:
+    """Average-hash and difference-hash of a decoded grayscale image —
+    the classic image near-duplicate fingerprints (pHash family):
+    robust to re-encoding because they depend only on coarse intensity
+    structure, and pure integer ops so they are exactly reproducible.
+
+    - ahash bit ``r*W + c`` is set iff ``px * (H*W) >= sum(px)``
+      (integer cross-multiplied mean comparison — no float mean).
+    - dhash bit ``r*(W-1) + c`` is set iff ``px[r,c] < px[r,c+1]``
+      (row-wise adjacent gradient sign).
+
+    Multi-channel input is first reduced to gray by integer mean
+    (``sum(channels) // C``).
+    """
+    if arr.ndim == 3 and arr.shape[2] > 1:
+        gray = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+    else:
+        gray = arr.reshape(arr.shape[0], arr.shape[1]).astype(np.int64)
+    h, w = gray.shape
+    total = int(gray.sum())
+    n = h * w
+    ahash = 0
+    for r in range(h):
+        for c in range(w):
+            if int(gray[r, c]) * n >= total:
+                ahash |= 1 << (r * w + c)
+    dhash = 0
+    for r in range(h):
+        for c in range(w - 1):
+            if gray[r, c] < gray[r, c + 1]:
+                dhash |= 1 << (r * (w - 1) + c)
+    return ahash, dhash
+
+
+def perceptual_hashes(assets: DataFrame) -> DataFrame:
+    """REAL decode + perceptual hash per asset: every payload parses via
+    :func:`decode_image` (PPM/PGM/BMP/PNG), then ahash/dhash as above.
+    Exact-match hash groups are image-level duplicates; near-dups are
+    hamming-close hashes (band the 16/12 bits like dd3's LSH for a
+    join-based pairing at scale). Arrow-batched ``mapInPandas``, same
+    100 TB shape as :func:`decode_images`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "height", "width", "ahash", "dhash")}
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_image(bytes(b))
+                a, d = perceptual_hash(arr)
+                out["asset_id"].append(aid)
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["ahash"].append(a)
+                out["dhash"].append(d)
+            yield pd.DataFrame(out)
+
+    from movie_etl_spark.session import ensure_parallelism
+
+    return ensure_parallelism(assets).mapInPandas(
+        run, schema=PERCEPTUAL_HASH_SCHEMA
+    )

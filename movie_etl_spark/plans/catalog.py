@@ -1229,6 +1229,57 @@ def q_mm5_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(assets)
 
 
+@register(
+    "mm6_perceptual_hash",
+    """
+    WITH h AS (
+      SELECT doc_id AS asset_id, md5(text) AS hx FROM documents
+    ), b AS (
+      SELECT asset_id,
+             list_transform(range(0, 16),
+               i -> (strpos('0123456789abcdef', substring(hx, 2*i+1, 1)) - 1)
+                      * 16
+                  + (strpos('0123456789abcdef', substring(hx, 2*i+2, 1)) - 1)
+             ) AS px
+      FROM h
+    ), t AS (
+      SELECT asset_id, px, list_sum(px) AS total FROM b
+    )
+    SELECT asset_id, 4 AS height, 4 AS width,
+           CAST(list_sum(list_transform(range(0, 16),
+                 i -> CASE WHEN px[i+1] * 16 >= total
+                      THEN 1 << i ELSE 0 END)) AS BIGINT) AS ahash,
+           CAST(list_sum(list_transform(range(0, 12),
+                 j -> CASE WHEN px[(j // 3) * 4 + (j % 3) + 1]
+                              < px[(j // 3) * 4 + (j % 3) + 2]
+                      THEN 1 << j ELSE 0 END)) AS BIGINT) AS dhash
+    FROM t
+    """,
+    doc="image near-duplicate fingerprints over REAL decoded pixels: "
+    "each document's 16 md5 bytes become a genuine 4x4 PGM file, "
+    "operators.multimodal.perceptual_hashes decodes it (the actual "
+    "format parser, no shortcut) and computes average-hash (bit = "
+    "pixel*N >= sum, integer cross-multiplied mean — no float) and "
+    "difference-hash (bit = row-adjacent gradient sign) — the pHash-"
+    "family primitives image dedup pipelines bucket on. Exact integer "
+    "bit patterns, so the oracle re-derives both hashes from md5's hex "
+    "digits and one flipped bit anywhere breaks the hash. At scale: "
+    "identical hashes = dup groups (one groupBy), hamming-near dups = "
+    "band the bits like dd3's LSH — no pairwise compare",
+)
+def q_mm6_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.multimodal import perceptual_hashes
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(b"P5\n4 4\n255\n"), F.expr("unhex(md5(text))")
+        ).alias("payload"),
+    )
+    return perceptual_hashes(assets)
+
+
 _PAGERANK_ITER_SQL = """
 i{n} AS (SELECT e.dst, sum(r.pr // d.deg) AS inc
        FROM edges e JOIN r{p} r ON r.src = e.src JOIN deg d ON d.src = e.src
@@ -3995,6 +4046,7 @@ DRIVER_PRIORITY: list[str] = [
     "w4_interval_range_window",
     "s8_python_datasource",
     "f12_variant_json",
+    "mm6_perceptual_hash",
     # -- changed this round: MUST re-verify (rotation policy) ---------------
     "ap1_approx_count_distinct",  # upgraded rows-only -> full hash oracle
     "gr1_pagerank",  # invariant deg join hoisted out of the loop
@@ -4010,7 +4062,6 @@ DRIVER_PRIORITY: list[str] = [
     "ap2_exact_percentile",
     "c5_decode_map",
     "cp1_quality_filter",
-    "d4_merge_dedup",
     "dd1_exact_dedup",
     "dd2_minhash_signatures",
     "dd4_ngram_jaccard",
@@ -4040,10 +4091,11 @@ DRIVER_PRIORITY: list[str] = [
     "w1_latest_order_per_customer",
     "w2_running_sum",
     # -- r6-green representative filling the 50-query window. Displaced
-    #    to r8 for slot math (9 new queries this round): the former reps
-    #    st5/dd3/g1 plus aged k7/mm2/o1/d1 (each with a dedicated pytest
-    #    backstop: rollback cascade, frame fan-out, TakeOrderedAndProject
-    #    plan assert, keep_new anti-join unit test).
+    #    to r8 for slot math (10 new queries this round): the former reps
+    #    st5/dd3/g1 plus aged k7/mm2/o1/d1/d4 (each with a dedicated
+    #    pytest backstop: rollback cascade, frame fan-out,
+    #    TakeOrderedAndProject plan assert, keep_new anti-join and
+    #    insert_if_absent dedup unit tests).
     #    Displaced veterans stay benched and selfchecked every round. ------
     "s1_discover",
 ]

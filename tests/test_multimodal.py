@@ -373,3 +373,26 @@ if HAVE_HYPOTHESIS:
         got = decode_image(encode_png(arr, filter_type=ftype))
         assert got.shape == (h, w, channels)
         assert (got == arr).all()
+
+
+def test_perceptual_hash_hand_computed():
+    """4x4 gray with known structure: ahash/dhash bits derivable by
+    hand. Pixels rows: [0,10,20,30],[40,50,60,70],[80,90,100,110],
+    [120,130,140,150]; sum=1200, mean=75 -> ahash bits where px*16>=1200
+    (px>=75): positions 10..15 (px 100..150) plus px=80(8),90(9) ->
+    bits 8..15. dhash: every row strictly increasing -> all 12 bits."""
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import perceptual_hash
+
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4, 1) * 10
+    ahash, dhash = perceptual_hash(arr)
+    assert ahash == sum(1 << i for i in range(8, 16))
+    assert dhash == (1 << 12) - 1
+    # RGB reduction: gray = channel mean; equal channels == gray case
+    rgb = np.repeat(arr, 3, axis=2)
+    assert perceptual_hash(rgb) == (ahash, dhash)
+    # constant image: every px*16 == sum -> all ahash bits, no gradients
+    flat = np.full((4, 4, 1), 7, dtype=np.uint8)
+    a2, d2 = perceptual_hash(flat)
+    assert a2 == (1 << 16) - 1 and d2 == 0
