@@ -475,6 +475,7 @@ def dup_clusters(
     id_b: str = "id_b",
     max_iterations: int = 25,
     driver_cc_max_edges: int = 2_000_000,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list:
     ``(doc_id, cluster_id)`` with cluster_id = the MIN doc id in the
@@ -501,9 +502,11 @@ def dup_clusters(
       labels (one join + one groupBy per round, localCheckpoint to cut
       lineage). Rounds = component diameter; near-dup components are
       stars (exact-fingerprint collapse) or dense LSH cliques,
-      diameter 2-3. ``max_iterations`` guards pathological chains; a
-      1000-executor deployment of very long chains would swap in
-      large-star/small-star [Kiveris et al. 2014].
+      diameter 2-3. ``max_iterations`` guards pathological chains.
+      For genuinely long-chain graphs pass ``algorithm="star"`` to run
+      graph_algos.connected_components_star instead (alternating
+      large-star/small-star [Kiveris et al. 2014], O(log^2 n) rounds
+      on ANY diameter — equality-tested against this path).
 
     Both paths are equality-tested against each other
     (tests/test_text_dedup.py::test_dup_clusters_paths_agree).
@@ -520,6 +523,22 @@ def dup_clusters(
     # partitioning, so count() is deferred there); if it doesn't, the
     # collected rows ARE the complete edge list — one job instead of a
     # count() followed by a collect()
+    if algorithm == "star":
+        from movie_etl_spark.operators.graph_algos import (
+            connected_components_star,
+        )
+
+        clustered = connected_components_star(
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        ).select(
+            F.col("node_id").alias(id_col),
+            F.col("component_id").alias("cluster_id"),
+        )
+        singletons = nodes.select(F.col(id_col)).join(
+            clustered.select(id_col), id_col, "left_anti"
+        ).withColumn("cluster_id", F.col(id_col))
+        return clustered.unionByName(singletons)
+
     probe = pairs.limit(driver_cc_max_edges + 1).collect()
 
     if len(probe) <= driver_cc_max_edges:

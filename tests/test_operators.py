@@ -379,3 +379,99 @@ def test_pagerank_plan_has_two_joins_per_iteration(spark):
 
     assert n_joins(3) - n_joins(1) == 2 * 2
     release_caches()
+
+
+def test_connected_components_star_on_long_chain(spark):
+    """The case hash-min label propagation handles worst (rounds =
+    diameter): a 300-node path must collapse to one component rooted at
+    0 within the default O(log^2 n) round budget."""
+    from movie_etl_spark.operators.graph_algos import (
+        connected_components_star,
+    )
+    from movie_etl_spark.session import release_caches
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r.node_id: r.component_id
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    release_caches()
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Random sparse graph vs a pure-Python union-find reference:
+    identical (node -> min-id component) mapping, multiple components."""
+    import random
+
+    from movie_etl_spark.operators.graph_algos import (
+        connected_components_star,
+    )
+    from movie_etl_spark.session import release_caches
+
+    rng = random.Random(7)
+    n = 400
+    edge_list = {
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(250)
+    }
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edge_list:
+        for v in (a, b):
+            expected[v] = find(v)
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.node_id: r.component_id
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == expected
+    assert len({c for c in expected.values()}) > 1  # non-trivial graph
+    release_caches()
+
+
+def test_dup_clusters_star_algorithm_agrees(spark):
+    """dup_clusters(algorithm='star') must produce the identical
+    clustering as the default path on transitive chains — the contract
+    that makes star a drop-in for long-chain deployments."""
+    from movie_etl_spark.operators.dedup import dup_clusters
+    from movie_etl_spark.session import release_caches
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        "doc_id long",
+    )
+    default = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(pairs, nodes, "doc_id").collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(
+            pairs, nodes, "doc_id", algorithm="star"
+        ).collect()
+    }
+    assert star == default
+    assert (99, 99) in star  # singleton path intact
+    release_caches()
