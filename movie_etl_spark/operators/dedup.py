@@ -594,6 +594,7 @@ def dup_clusters(
         # old-vs-new join (the lazy checkpoint makes it double as the
         # round's materializer: one job per round, not two)
         prev_sum = None
+        converged = False
         for _ in range(max_iterations):
             msgs = edges.join(
                 labels.select(F.col("node").alias("dst"), "label"), "dst"
@@ -609,11 +610,26 @@ def dup_clusters(
             )
             cur_sum = labels.agg(F.sum("label")).collect()[0][0]
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
-        clustered = labels.select(
-            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
-        )
+        if not converged:
+            # a component with diameter > max_iterations: unconverged
+            # labels are NOT cluster ids, and returning them would be
+            # silently wrong. Fall back to the any-diameter algorithm
+            # (O(log^2 n) rounds) instead of guessing.
+            from movie_etl_spark.operators.graph_algos import (
+                connected_components_star,
+            )
+
+            clustered = connected_components_star(edges).select(
+                F.col("node_id").alias(id_col),
+                F.col("component_id").alias("cluster_id"),
+            )
+        else:
+            clustered = labels.select(
+                F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+            )
     singletons = nodes.select(F.col(id_col)).join(
         clustered.select(id_col), id_col, "left_anti"
     ).withColumn("cluster_id", F.col(id_col))

@@ -365,3 +365,31 @@ def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([(1, "The cat's hat, isn't 42!")], "i long, text string")
     toks = df.select(bpe_ish_tokens("text").alias("t")).collect()[0].t
     assert toks == ["The", " cat", "'s", " hat", ",", " isn", "'t", " 42", "!"]
+
+
+def test_dup_clusters_label_prop_nonconvergence_falls_back_to_star(spark):
+    """A component whose diameter exceeds max_iterations must NOT return
+    unconverged (silently wrong) labels: the label-prop path detects the
+    missed fixpoint and falls back to connected_components_star. Forced
+    here with a tiny driver_cc bound (so the distributed path runs) and
+    a 40-node chain against max_iterations=3."""
+    from movie_etl_spark.operators.dedup import dup_clusters
+    from movie_etl_spark.session import release_caches
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(
+            pairs,
+            nodes,
+            "doc_id",
+            max_iterations=3,
+            driver_cc_max_edges=5,
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+    release_caches()
