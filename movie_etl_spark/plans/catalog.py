@@ -3775,19 +3775,22 @@ def q_cc2_fingerprint_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="interval RANGE window: per-user sliding 1-hour sum — the "
     "value-bounded frame (RANGE BETWEEN INTERVAL ... PRECEDING) that "
     "row-count frames (w2) cannot express. Spark's rangeBetween needs "
-    "a numeric order key, so the frame runs over unix_timestamp(ts) "
-    "with (-3600, 0) — second-exact equivalent of the oracle's "
-    "interval bound, tie rows (RANGE peers) included identically in "
-    "both engines. DECIMAL-exact summation then double, immune to "
-    "float order. Partitioned window: state scales with users, not "
-    "corpus",
+    "a numeric order key, so the frame runs over unix_micros(ts) with "
+    "(-3.6e9 us, 0) — MICROSECOND-exact equivalent of the oracle's "
+    "interval bound. (First written over unix_timestamp seconds, which "
+    "TRUNCATES sub-second event times: green at sf0.01 by luck, caught "
+    "at the denser synthesized sf1 where a .417 ms event straddled a "
+    "second-granularity boundary — the scale-correctness check earning "
+    "its keep.) Tie rows (RANGE peers) included identically in both "
+    "engines. DECIMAL-exact summation then double, immune to float "
+    "order. Partitioned window: state scales with users, not corpus",
 )
 def q_w4_interval_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",
