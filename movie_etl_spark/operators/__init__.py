@@ -49,17 +49,22 @@ from movie_etl_spark.operators.dedup import (  # noqa: F401
     embedding_near_dup_pairs,
 )
 from movie_etl_spark.operators.frequency import heavy_hitters  # noqa: F401
-from movie_etl_spark.operators.search import bm25_search  # noqa: F401
+from movie_etl_spark.operators.search import (  # noqa: F401
+    bm25_search,
+    tfidf_top_terms,
+)
 from movie_etl_spark.operators.skew import (  # noqa: F401
     salted_broadcast_join,
     salted_count,
 )
 from movie_etl_spark.operators.upsert import (  # noqa: F401
+    apply_changelog,
     incremental_above_watermark,
     scd2_apply,
 )
 from movie_etl_spark.operators.multimodal import (  # noqa: F401
     decode_audio,
+    encode_gif,
     decode_audio_stats,
     decode_image,
     decode_images,
@@ -68,7 +73,9 @@ from movie_etl_spark.operators.multimodal import (  # noqa: F401
     sample_frames,
 )
 from movie_etl_spark.operators.graph_algos import (  # noqa: F401
+    bfs_distances,
     pagerank_fixed_point,
+    triangle_counts,
 )
 from movie_etl_spark.operators.layout import (  # noqa: F401
     cluster_by_zorder,

@@ -206,3 +206,144 @@ def connected_components_star(
         "component_id", F.col("node_id")
     )
     return members.unionByName(roots).distinct()
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Multi-source BFS hop distances over a directed edge list.
+
+    ``edges`` needs long-id columns ``(src, dst)``; ``seeds`` is a
+    one-column frame of source node ids (distance 0). Returns
+    ``(node_id, dist)`` for every node REACHED within ``max_hops``
+    hops — unreached nodes get no row (callers left-join the node
+    universe if they want NULL-distance rows).
+
+    Shape: full-relaxation BSP, the same one-shuffle-per-iteration
+    contract as :func:`pagerank_fixed_point` — per hop,
+    ``dist' = min(dist, min over in-neighbors (dist+1))`` as one union
+    + one groupBy-min. No frontier bookkeeping: a frontier
+    optimization saves work on high-diameter graphs but adds a
+    per-iteration anti-join; for bounded-hop queries over short-diameter
+    graphs (the LSH-clique / bipartite-dim case here) the flat
+    relaxation is one shuffle cheaper per hop and trivially
+    deterministic. All-integer (hop counts), so results are bit-stable
+    and an unrolled recursive-SQL oracle can hash-match exactly.
+
+    At 100 TB: the dist table is one row per *reached* node and stays
+    co-partitioned with the groupBy key; each hop shuffles only that
+    table plus the matched edges, never the full graph state.
+    """
+    e = cache_tracked(edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).distinct())
+    dist = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("src")
+    ).distinct().withColumn("dist", F.lit(0).cast("long"))
+    for hop in range(max_hops):
+        relaxed = e.join(dist, "src").select(
+            F.col("dst").alias("src"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("src")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (hop + 1) % checkpoint_every == 0 and (hop + 1) < max_hops:
+            dist = dist.localCheckpoint()
+    return dist.select(F.col("src").alias("node_id"), "dist")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW 2011 — the standard MapReduce formulation).
+
+    ``edges`` needs long-id columns ``(src, dst)``, undirected
+    semantics (self-loops and duplicate/reverse pairs are collapsed).
+    Returns ``(node_id, triangles)`` for every node incident to at
+    least one edge (zero rows included), where ``triangles`` is the
+    number of distinct triangles containing the node.
+
+    Why orientation matters at scale: counting wedges from EVERY node
+    explodes on hubs (a degree-d node yields d^2/2 wedges). Orienting
+    each edge from the endpoint with smaller (degree, id) to the larger
+    bounds every node's out-degree by O(sqrt(m)), so the wedge join is
+    O(m^1.5) total work regardless of skew — the hub's wedges are
+    charged to its low-degree neighbors. The (deg, id) total order
+    makes the orientation deterministic.
+
+    Plan: one groupBy (degrees), one broadcast-or-shuffle join to
+    attach (deg, id) ranks, one self-join on the wedge pivot, one
+    semi-ish join against the oriented edge set to close wedges, then
+    an explode of each triangle to its 3 corners + groupBy count.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .alias("a"),
+            F.greatest(F.col("src").cast("long"), F.col("dst").cast("long"))
+            .alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = cache_tracked(und)
+    nodes = und.select(F.col("a").alias("id")).unionByName(
+        und.select(F.col("b").alias("id"))
+    )
+    deg = nodes.groupBy("id").agg(F.count("*").alias("deg"))
+    # orient a->b iff (deg(a), a) < (deg(b), b)
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = cache_tracked(
+        und.join(da, F.col("a") == F.col("da.id"))
+        .join(db, F.col("b") == F.col("db.id"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg"))
+                   & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    # wedges pivoting at u: (u, v, w) with v < w in the (deg, id) order
+    # encoded by the orientation itself (both v and w are "larger" than
+    # u; dedupe by v < w on ids after orientation? No — orientation is a
+    # DAG, so distinct pairs of out-neighbors suffice; order by id to
+    # emit each unordered pair once)
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("x") < F.col("y"))
+    )
+    # close the wedge against the canonical undirected edge set: both
+    # sides carry (smaller-id, larger-id) pairs, so this is a pure
+    # two-key equi-join (hash/sort-merge joinable — an OR-of-orderings
+    # predicate here would have forced a nested-loop join)
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "inner").select(
+        F.col("u").alias("n1"), F.col("x").alias("n2"), F.col("y").alias("n3")
+    )
+    corners = (
+        tri.select(F.col("n1").alias("id"))
+        .unionByName(tri.select(F.col("n2").alias("id")))
+        .unionByName(tri.select(F.col("n3").alias("id")))
+    )
+    cnt = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    return (
+        deg.join(cnt, "id", "left")
+        .select(
+            F.col("id").alias("node_id"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
+    )

@@ -74,6 +74,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp24(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if magic == b"\xff\xd8":
         raise NotImplementedError(
             "JPEG decoding requires an external codec library "
@@ -623,3 +625,249 @@ def perceptual_hashes(assets: DataFrame) -> DataFrame:
     return ensure_parallelism(assets).mapInPandas(
         run, schema=PERCEPTUAL_HASH_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF: the second compressed codec (after PNG/mm5) that a stdlib-only
+# environment can genuinely decode — LZW is pure integer table work, no
+# external library needed. Encoder + decoder are a matched pair; the
+# pytest property suite round-trips random index streams across code-width
+# growth and the 4096-entry table reset, and the mm7 oracle re-derives
+# exact pixels independently, so an off-by-one in the variable-width code
+# sync (the classic LZW bug class) cannot pass silently.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: variable-width codes LSB-first, CLEAR and EOI
+    codes, dictionary grows to 4096 entries. The decoder widens one
+    entry EARLY relative to its own table (``next_code ==
+    (1 << code_size) - 1``) because it runs one dictionary entry behind
+    the encoder — the canonical sync rule (GIF89a spec appendix F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+
+    def reset() -> tuple[int, int]:
+        table.clear()
+        table.extend((i,) for i in range(clear))
+        table.extend(((), ()))  # clear/EOI placeholders
+        return min_code_size + 1, end + 1
+
+    code_size, next_code = reset()
+    prev: tuple[int, ...] | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                code_size, next_code = reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError(f"LZW: invalid first code {code}")
+                entry = table[code]
+            else:
+                if code < next_code and code < len(table):
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + (prev[0],)  # KwKwK case
+                else:
+                    raise ValueError(f"LZW: out-of-range code {code}")
+                if next_code < 4096:
+                    table.append(prev + (entry[0],))
+                    next_code += 1
+                    if (
+                        next_code == (1 << code_size) - 1
+                        and code_size < 12
+                    ):
+                        code_size += 1
+            out.extend(entry)
+            prev = entry
+    raise ValueError("LZW: stream ended without EOI code")
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Greedy LZW encoder matched to :func:`_lzw_decode`: emits CLEAR
+    up front and whenever the table fills; widens when its own
+    ``next_code`` reaches ``(1 << code_size) - 1`` so the emitted
+    stream stays in sync with the one-entry-behind decoder."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict[tuple[int, ...], int], int, int]:
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, code_size = fresh()
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        if not 0 <= k < clear:
+            raise ValueError(f"LZW: index {k} out of palette range")
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # widen at 1<<cs; the decoder (one entry behind) widens at
+            # (1<<cs)-1 of ITS count — same stream position
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table, next_code, code_size = fresh()
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a decode via the pure-Python LZW above: logical screen
+    descriptor, global/local color table, extension-block skipping,
+    first image descriptor -> H×W×3 RGB uint8 through the palette.
+    Interlaced images raise NotImplementedError (Adam-style row
+    shuffling, same honesty line as interlaced PNG)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:  # global color table
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        if palette.shape[0] < n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated image descriptor")
+        _left, _top, width, height = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        if width <= 0 or height <= 0:
+            raise ValueError(f"invalid GIF dimensions {width}x{height}")
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if ipacked & 0x80:  # local color table wins
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"invalid LZW min code size {min_code_size}")
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # sub-block terminator
+        indices = _lzw_decode(bytes(lzw), min_code_size)
+        if len(indices) < width * height:
+            raise ValueError("GIF pixel data underrun")
+        idx = np.array(indices[: width * height], dtype=np.int64)
+        if idx.max() >= palette.shape[0]:
+            raise ValueError("GIF index outside color table")
+        return palette[idx].reshape(height, width, 3)
+    raise ValueError("GIF contains no image descriptor")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal deterministic GIF87a encoder (asset synthesis +
+    round-trip tests): one non-interlaced image, global color table
+    from ``palette`` ([n,3] uint8, n a power of two >= 4), pixels from
+    ``indices`` ([H,W] ints). Real LZW compression via
+    :func:`_lzw_encode`."""
+    height, width = indices.shape
+    n = palette.shape[0]
+    bits = max(2, (n - 1).bit_length())
+    if n != 1 << bits:
+        raise ValueError("palette size must be a power of two >= 4")
+    header = b"GIF87a" + struct.pack(
+        "<HHBBB", width, height, 0x80 | ((bits - 1) & 0x07), 0, 0
+    )
+    body = _lzw_encode([int(i) for i in indices.reshape(-1)], bits)
+    sub = bytearray([bits])
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    return (
+        header + palette.astype(np.uint8).tobytes() + desc + bytes(sub)
+        + b"\x3b"
+    )
+
+
+def gif_encoder_udf(height: int, width: int):
+    """Arrow-vectorized ``pandas_udf`` factory: raw index bytes -> a
+    GIF payload of the given fixed shape over the 256-gray palette
+    (``palette[i] == (i, i, i)`` — so decoded RGB stats re-derive
+    exactly from the input bytes, the mm-oracle contract)."""
+    gray = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+
+    @F.pandas_udf("binary")
+    def to_gif(px: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_gif(
+                    np.frombuffer(bytes(b), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(height, width),
+                    gray,
+                )
+                for b in px
+            ]
+        )
+
+    return to_gif

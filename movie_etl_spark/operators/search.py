@@ -76,3 +76,68 @@ def bm25_search(
         .agg(F.round(F.sum("_w"), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 3,
+    min_term_len: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by TF-IDF —
+    the keyword-extraction primitive (corpus labeling, near-dup
+    cluster naming, topic sampling) complementing :func:`bm25_search`
+    (which ranks docs for a query; this ranks terms for a doc).
+
+    IDF is the RATIONAL fixed-point ``(N * scale) div df`` instead of
+    ``ln(N/df)``: ln is monotone in N/df, so for ranking (the output
+    is ranks, not scores) the log changes nothing, while integer
+    ``score = tf * ((N * scale) div df)`` makes every comparison exact
+    — no float idf whose last-ulp engine differences could flip a
+    rank-boundary tie. Ties break on term asc; ``min_term_len`` drops
+    stop-word-length noise tokens.
+
+    Returns ``(id, rank, term, tf, df_docs)`` with rank in 1..top_k.
+
+    Scale shape: tokenize once, aggregate (doc, term) counts [shuffle
+    1, on the compound key], derive per-term doc frequencies from that
+    aggregate [shuffle 2, on term — input already one row per
+    (doc, term)], broadcast the tiny df table back, then one window
+    per doc [shuffle 3]. Never a per-term corpus scan; nothing
+    driver-side.
+    """
+    from pyspark.sql import Window
+
+    from movie_etl_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                tokens(text_col), lambda t: F.length(t) >= min_term_len
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    # corpus size as a broadcast 1-row aggregate (lazy, no driver count)
+    n_docs = df.agg(F.count("*").alias("_n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_fp",
+            F.col("tf")
+            * F.expr(f"(_n_docs * {scale}L) div df_docs"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_fp"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "rank", "term", "tf", "df_docs")
+    )

@@ -206,3 +206,44 @@ def incremental_above_watermark(
         .filter(F.col(ts_col) > F.col("_hwm"))
         .drop("_hwm")
     )
+
+
+def apply_changelog(
+    log: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    delete_col: str = "_is_delete",
+) -> DataFrame:
+    """CDC changelog materialization: fold an ordered stream of
+    upsert/delete change events into final table state — the Debezium /
+    Delta CDF "apply changes" contract that every lakehouse ingest
+    pipeline runs, and the batch twin of streaming dedup+upsert.
+
+    ``log`` carries one row per change event; ``keys`` identify the
+    entity, ``seq_cols`` give a TOTAL order of events per key (e.g.
+    ``["ts", "event_id"]`` — callers must include a tiebreaker column
+    so the order is deterministic; a ts-only sequence with duplicate
+    timestamps would make the survivor nondeterministic and
+    un-oracle-able), ``delete_col`` is a boolean column marking
+    tombstones. Returns the latest non-tombstoned row per key, change
+    columns intact, ``delete_col`` dropped: a key whose NEWEST event is
+    a tombstone disappears from the output entirely (resurrections —
+    an upsert after a delete — survive, matching MERGE semantics).
+
+    Plan: one window (row_number over keys, seq desc) = ONE shuffle on
+    the entity key, then a filter — no join. At 100 TB the shuffle is
+    proportional to the changelog slice being applied, not the base
+    table; with the log bucketed by key it collapses to a map-side
+    sort. max_by would avoid the sort but returns one struct, loses
+    per-row column pruning, and needs the same shuffle anyway.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col(delete_col)))
+        .drop("_rn", delete_col)
+    )

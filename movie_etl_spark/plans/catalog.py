@@ -4018,6 +4018,275 @@ def q_dd8_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# r7b engine extensions: graph analytics depth (BFS, triangles), CDC
+# materialization, TF-IDF keyword extraction, GIF codec
+# =====================================================================
+
+_BFS_ITER_SQL = """
+d{n} AS (SELECT src, min(dist) AS dist FROM (
+       SELECT src, dist FROM d{p}
+       UNION ALL
+       SELECT e.dst AS src, r.dist + 1 AS dist
+       FROM edges e JOIN d{p} r ON r.src = e.src
+     ) GROUP BY src)"""
+
+
+@register(
+    "gr3_bfs_distances",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS src,
+                      CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    d0 AS (
+      SELECT DISTINCT CAST(s_suppkey AS BIGINT) * 2 + 1 AS src,
+             CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_nationkey = 0
+    ),"""
+    + ",".join(_BFS_ITER_SQL.format(n=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT src AS node_id, dist FROM d3
+    """,
+    doc="multi-source BFS hop distances (graph_algos.bfs_distances): "
+    "all nodes within 3 hops of the nation-0 suppliers on the "
+    "symmetrized part<->supplier graph. Full-relaxation BSP — per hop "
+    "one union + one groupBy-min, the same one-shuffle-per-iteration "
+    "contract as gr1; all-integer distances so the unrolled "
+    "recursive-SQL oracle hash-matches exactly. The reachability / "
+    "neighborhood-radius primitive over the reference's knowledge "
+    "graph (kg_task.py builds it; 'what is near this entity' is the "
+    "canonical query over it)",
+)
+def q_gr3_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.graph_algos import bfs_distances
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_partkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = li.unionByName(
+        li.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey").cast("long") * 2 + 1).alias("id"))
+    )
+    return bfs_distances(edges, seeds, max_hops=3)
+
+
+@register(
+    "gr4_triangle_counts",
+    """
+    WITH raw AS (
+      SELECT DISTINCT
+        least(CAST(l_orderkey % 500 AS BIGINT),
+              CAST(l_partkey % 500 AS BIGINT)) AS a,
+        greatest(CAST(l_orderkey % 500 AS BIGINT),
+                 CAST(l_partkey % 500 AS BIGINT)) AS b
+      FROM lineitem WHERE l_quantity <= 2
+    ),
+    und AS (SELECT a, b FROM raw WHERE a <> b),
+    nodes AS (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und),
+    deg AS (SELECT id, count(*) AS deg FROM nodes GROUP BY id),
+    o AS (
+      SELECT CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.deg < db.deg)
+                    OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b
+    ),
+    w AS (
+      SELECT o1.u AS u, o1.v AS x, o2.v AS y
+      FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+    ),
+    tri AS (
+      SELECT w.u AS n1, w.x AS n2, w.y AS n3
+      FROM w JOIN und e ON e.a = w.x AND e.b = w.y
+    ),
+    corners AS (
+      SELECT n1 AS id FROM tri
+      UNION ALL SELECT n2 FROM tri
+      UNION ALL SELECT n3 FROM tri
+    ),
+    cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+    SELECT deg.id AS node_id,
+           CAST(coalesce(cnt.triangles, 0) AS BIGINT) AS triangles
+    FROM deg LEFT JOIN cnt ON cnt.id = deg.id
+    """,
+    doc="per-node triangle counts via degree-ordered edge orientation "
+    "(graph_algos.triangle_counts; Suri & Vassilvitskii WWW'11). "
+    "Orienting each edge toward the larger (degree, id) endpoint "
+    "bounds every out-degree by O(sqrt(m)), so the wedge self-join is "
+    "O(m^1.5) REGARDLESS of hub skew — the hub's wedges are charged "
+    "to its low-degree neighbors; counting wedges at every node would "
+    "be O(sum deg^2) and explode on hubs at 100 TB. Wedge closure is "
+    "a pure two-key equi-join against the canonical (min,max) edge "
+    "set (an OR-of-orderings predicate would force a nested-loop "
+    "join). Clustering-coefficient / community-density analytics over "
+    "the co-occurrence graph of the reference's entities",
+)
+def q_gr4_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.graph_algos import triangle_counts
+
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 2)
+        .select(
+            (F.col("l_orderkey") % 500).cast("long").alias("src"),
+            (F.col("l_partkey") % 500).cast("long").alias("dst"),
+        )
+    )
+    return triangle_counts(e)
+
+
+@register(
+    "d6_cdc_apply",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           value AS last_value
+    FROM c WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC changelog materialization (operators.upsert.apply_changelog): "
+    "fold the events stream into final per-user state — latest event "
+    "by (ts, event_id) wins, 'error' events are tombstones that "
+    "delete the key (a later event resurrects it, MERGE semantics). "
+    "The Debezium / Delta-CDF 'apply changes' contract. ONE shuffle "
+    "(window on the entity key) + a filter, no join; the explicit "
+    "event_id tiebreaker makes the survivor deterministic — a ts-only "
+    "sequence would be un-oracle-able. Extends the reference's "
+    "insert-if-absent/upsert family (D1-D4, SCD2 d5) with the "
+    "streaming-ingest shape",
+)
+def q_d6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.upsert import apply_changelog
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_is_delete", F.col("event_type") == "error"
+    )
+    return apply_changelog(
+        ev, keys=["user_id"], seq_cols=["ts", "event_id"]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "t7_tfidf_top_terms",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(text, '\s+'),
+               t -> t <> '' AND length(t) >= 3)) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+             tf.tf * ((n.n_docs * 1000000) // dfq.df_docs) AS score_fp
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, tf, df_docs,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_fp DESC, term ASC
+             ) AS rank
+      FROM s
+    )
+    SELECT doc_id, rank, term, tf, df_docs FROM r WHERE rank <= 3
+    """,
+    doc="TF-IDF keyword extraction (operators.search.tfidf_top_terms): "
+    "top-3 characteristic terms per document — the corpus-labeling / "
+    "cluster-naming primitive complementing v5's BM25 (which ranks "
+    "docs for a query; this ranks terms for a doc). IDF is the "
+    "RATIONAL fixed-point (N*1e6) div df instead of ln(N/df): log is "
+    "monotone in N/df so ranks are unchanged, while integer scores "
+    "make every rank-boundary comparison exact — no float idf whose "
+    "last-ulp engine difference could flip a tie. Tokenize once, "
+    "aggregate (doc, term), derive df from that aggregate, broadcast "
+    "back, one window per doc — never a per-term corpus scan",
+)
+def q_t7_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.search import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "text", "doc_id", top_k=3, min_term_len=3)
+
+
+@register(
+    "mm7_gif_decode",
+    """
+    WITH h AS (
+      SELECT doc_id AS asset_id, md5(text) AS hx FROM documents
+    ), b AS (
+      SELECT asset_id,
+             list_transform(range(0, 16),
+               i -> (strpos('0123456789abcdef', substring(hx, 2*i+1, 1)) - 1)
+                      * 16
+                  + (strpos('0123456789abcdef', substring(hx, 2*i+2, 1)) - 1)
+             ) AS bytes
+      FROM h
+    )
+    SELECT asset_id, 4 AS height, 4 AS width, 3 AS channels,
+           CAST(3 * list_sum(bytes) AS BIGINT) AS pixel_sum,
+           CAST(list_min(bytes) AS INT) AS pixel_min,
+           CAST(list_max(bytes) AS INT) AS pixel_max
+    FROM b
+    """,
+    doc="REAL GIF decode — the second compressed codec after PNG/mm5, "
+    "and the one whose compression (LZW) is pure integer table work, "
+    "implemented from the GIF89a spec with nothing but the stdlib: "
+    "each document's 16 md5 bytes become the 4x4 pixel indices of a "
+    "genuine GIF87a file over the 256-gray global color table "
+    "(multimodal.encode_gif: REAL variable-width LZW with clear/EOI "
+    "codes and dictionary growth), and multimodal._decode_gif walks "
+    "the actual format back — screen descriptor, color table, "
+    "extension skipping, LZW inflate with the one-entry-behind width "
+    "sync, palette mapping to HxWx3 RGB. The oracle re-derives exact "
+    "pixel stats from md5 hex digits (gray palette => pixel_sum = 3 * "
+    "byte sum), so a single LZW desync anywhere breaks the hash. "
+    "JPEG/MP3 (DCT/MDCT entropy codecs) remain the honest "
+    "NotImplementedError ceiling",
+)
+def q_mm7_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.multimodal import (
+        decode_images,
+        gif_encoder_udf,
+    )
+
+    to_gif = gif_encoder_udf(4, 4)
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        to_gif(F.expr("unhex(md5(text))")).alias("payload"),
+    )
+    return decode_images(assets)
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #

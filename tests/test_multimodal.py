@@ -396,3 +396,120 @@ def test_perceptual_hash_hand_computed():
     flat = np.full((4, 4, 1), 7, dtype=np.uint8)
     a2, d2 = perceptual_hash(flat)
     assert a2 == (1 << 16) - 1 and d2 == 0
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW (mm7)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_gray_and_small_palette():
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import _decode_gif, encode_gif
+
+    gray = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+    idx = np.arange(16, dtype=np.int64).reshape(4, 4) * 16
+    img = _decode_gif(encode_gif(idx, gray))
+    assert img.shape == (4, 4, 3)
+    assert (img == gray[idx]).all()
+    # 4-color palette exercises the minimum 2-bit code path
+    pal4 = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    small = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.int64)
+    assert (_decode_gif(encode_gif(small, pal4)) == pal4[small]).all()
+
+
+def test_gif_decoder_skips_gif89a_extension_blocks():
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import _decode_gif, encode_gif
+
+    pal4 = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1], [2, 3]], dtype=np.int64)
+    payload = encode_gif(idx, pal4)
+    # splice a Graphic Control Extension after the 12-byte color table
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    p89 = b"GIF89a" + payload[6:25] + gce + payload[25:]
+    assert (_decode_gif(p89) == pal4[idx]).all()
+
+
+def test_gif_decoder_rejects_interlace_truncation_and_bad_codes():
+    import numpy as np
+    import pytest as _pytest
+
+    from movie_etl_spark.operators.multimodal import (
+        _decode_gif,
+        _lzw_decode,
+        encode_gif,
+    )
+
+    pal4 = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1], [2, 3]], dtype=np.int64)
+    payload = bytearray(encode_gif(idx, pal4))
+    # image descriptor packed byte sits 9 bytes into the 0x2C block
+    desc_at = payload.index(0x2C, 13)
+    payload[desc_at + 9] |= 0x40  # set interlace flag
+    with _pytest.raises(NotImplementedError):
+        _decode_gif(bytes(payload))
+    with _pytest.raises(ValueError):
+        _decode_gif(b"GIF87a" + b"\x00" * 4)  # truncated header
+    with _pytest.raises(ValueError):
+        _lzw_decode(b"", 2)  # no EOI
+    with _pytest.raises(ValueError):
+        # code far beyond the table: 0b111111 at width 3 after clear
+        _lzw_decode(bytes([0b10111100, 0b1]), 2)
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        bits=st.sampled_from([2, 4, 8]),
+        data=st.data(),
+    )
+    def test_gif_lzw_roundtrip_property(w, h, bits, data):
+        """encode(indices) -> decode == palette[indices] for arbitrary
+        sizes and palette widths — any variable-width code desync (the
+        classic LZW bug class) fails this immediately."""
+        import numpy as np
+
+        from movie_etl_spark.operators.multimodal import (
+            _decode_gif,
+            encode_gif,
+        )
+
+        n = 1 << bits
+        pal = np.arange(n * 3, dtype=np.int64).reshape(n, 3) % 256
+        pal = pal.astype(np.uint8)
+        vals = data.draw(
+            st.lists(st.integers(0, n - 1), min_size=w * h, max_size=w * h)
+        )
+        idx = np.array(vals, dtype=np.int64).reshape(h, w)
+        assert (_decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+    @settings(max_examples=10, deadline=None)
+    @given(seed=st.integers(0, 2**32 - 1))
+    def test_lzw_long_repetitive_stream_crosses_width_boundaries(seed):
+        """Dictionary-heavy streams push code width past 9-10 bits and
+        exercise the KwKwK case; 30k symbols cross several widths."""
+        import random
+
+        from movie_etl_spark.operators.multimodal import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        rng = random.Random(seed)
+        seq = []
+        while len(seq) < 30000:
+            run = rng.randrange(1, 20)
+            seq.extend([rng.randrange(256)] * run)
+        assert _lzw_decode(_lzw_encode(seq, 8), 8) == seq

@@ -475,3 +475,111 @@ def test_dup_clusters_star_algorithm_agrees(spark):
     assert star == default
     assert (99, 99) in star  # singleton path intact
     release_caches()
+
+
+def test_bfs_distances_hand_computed(spark):
+    """K4 plus a pendant and a far chain: exact hop distances, bounded
+    by max_hops, unreached nodes absent."""
+    from movie_etl_spark.operators.graph_algos import bfs_distances
+
+    E = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(
+        E + [(b, a) for a, b in E], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.node_id: r.dist for r in bfs_distances(edges, seeds, 3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5, 6 beyond 3 hops
+    # multi-source takes the minimum over seeds
+    seeds2 = spark.createDataFrame([(1,), (6,)], "id long")
+    got2 = {
+        r.node_id: r.dist for r in bfs_distances(edges, seeds2, 2).collect()
+    }
+    assert got2 == {1: 0, 2: 1, 3: 2, 6: 0, 5: 1, 4: 2}
+
+
+def test_bfs_seed_not_in_graph_keeps_distance_zero(spark):
+    from movie_etl_spark.operators.graph_algos import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "id long")
+    got = {r.node_id: r.dist for r in bfs_distances(edges, seeds, 2).collect()}
+    assert got == {99: 0}
+
+
+def test_triangle_counts_hand_computed(spark):
+    """K4 (4 triangles, 3 per node), a pendant, an isolated edge, and
+    duplicate/reversed/self-loop edges that must be collapsed."""
+    from movie_etl_spark.operators.graph_algos import triangle_counts
+
+    E = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (5, 1),                                           # pendant
+        (6, 7),                                           # isolated edge
+        (2, 1), (3, 1), (4, 4),                           # dupes + loop
+    ]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {r.node_id: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_triangle_counts_two_sharing_an_edge(spark):
+    """Bowtie-ish: triangles {1,2,3} and {2,3,4} share edge (2,3)."""
+    from movie_etl_spark.operators.graph_algos import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got = {r.node_id: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_apply_changelog_delete_resurrect_and_tiebreak(spark):
+    from movie_etl_spark.operators.upsert import apply_changelog
+
+    rows = [
+        # key 1: upsert then tombstone -> gone
+        (1, 10, False, "a"),
+        (1, 20, True, "b"),
+        # key 2: tombstone then upsert -> resurrected with latest value
+        (2, 10, True, "c"),
+        (2, 20, False, "d"),
+        # key 3: same seq ts -> event_id tiebreaker wins (31 > 30)
+        (3, 30, False, "e"),
+        (3, 30, False, "f"),
+    ]
+    log = spark.createDataFrame(
+        rows, "k long, seq long, _is_delete boolean, v string"
+    )
+    # duplicate seq needs the second ordering column: reuse v as the
+    # tiebreaker for key 3 (f > e)
+    out = {
+        r.k: r.v
+        for r in apply_changelog(log, ["k"], ["seq", "v"]).collect()
+    }
+    assert out == {2: "d", 3: "f"}
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Rarer terms outrank common ones; ties break on term asc; tf
+    scales the score; short tokens are dropped."""
+    from movie_etl_spark.operators.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana banana common xx"),
+            (2, "banana common common cherry"),
+            (3, "common dates dates dates"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "text", "doc_id", top_k=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df_docs) for r in out}
+    # doc 1: apple df=1 tf=1 -> 3e6; banana df=2 tf=2 -> 3e6; tie ->
+    # term asc puts apple first
+    assert got[(1, 1)] == ("apple", 1, 1)
+    assert got[(1, 2)] == ("banana", 2, 2)
+    # doc 3: dates df=1 tf=3 -> 9e6 beats common df=3 tf=1 -> 1e6
+    assert got[(3, 1)] == ("dates", 3, 1)
+    assert got[(3, 2)] == ("common", 1, 3)
+    # 'xx' (len 2) never appears
+    assert all(r.term != "xx" for r in out)
