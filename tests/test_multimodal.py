@@ -100,11 +100,13 @@ def test_decode_image_bmp_matches_ppm():
 def test_decode_image_rejects_compressed_and_garbage():
     from movie_etl_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG now has a REAL decoder (operators/jpeg.py) — malformed JPEG
+    # bytes fail with ValueError, not a codec-gap NotImplementedError
+    with pytest.raises(ValueError, match="truncated segment"):
         decode_image(b"\xff\xd8\xff\xe0....")
     with pytest.raises(ValueError, match="missing IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\n")  # signature only, no chunks
-    with pytest.raises(ValueError, match="unrecognized"):
+    with pytest.raises(ValueError, match="truncated GIF"):
         decode_image(b"GIF89a")
     with pytest.raises(ValueError):
         decode_image(_ppm(4, 4, range(12)))  # truncated pixel data
@@ -513,3 +515,119 @@ if HAVE_HYPOTHESIS:
             run = rng.randrange(1, 20)
             seq.extend([rng.randrange(256)] * run)
         assert _lzw_decode(_lzw_encode(seq, 8), 8) == seq
+
+
+# ---------------------------------------------------------------------------
+# JPEG (mm8) — operators/jpeg.py
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_block_roundtrips_exactly():
+    import numpy as np
+
+    from movie_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (0, 77, 128, 255):
+        flat = np.full((8, 8), v, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(flat, quality=75))
+        assert out.shape == (8, 8, 1)
+        # a flat block is DC-only; quantization error stays within the
+        # DC step after rounding — empirically exact for these values
+        assert int(np.abs(out[:, :, 0].astype(int) - v).max()) <= 1
+
+
+def test_jpeg_smooth_gradient_tight_error():
+    import numpy as np
+
+    from movie_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:16, 0:16]
+    grad = ((x * 8 + y * 4) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=90))
+    err = np.abs(out[:, :, 0].astype(int) - grad.astype(int))
+    assert err.max() <= 4
+
+
+def test_jpeg_rgb_roundtrip_and_odd_sizes():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    from movie_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = rng.integers(0, 256, (5, 13, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == (5, 13, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() <= 16  # noise at q90, generous bound
+    # decode_image dispatches on the FFD8 magic
+    from movie_etl_spark.operators.multimodal import decode_image
+
+    assert decode_image(encode_jpeg(img)).shape == (5, 13, 3)
+
+
+def test_jpeg_decoder_reads_tables_from_payload_not_assumptions():
+    """Re-quantizing with quality=30 changes the DQT bytes; a decoder
+    that assumed fixed tables would misscale every coefficient and
+    blow the error bound."""
+    import numpy as np
+
+    from movie_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:8, 0:8]
+    grad = ((x * 16 + y * 8) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=30))
+    err = np.abs(out[:, :, 0].astype(int) - grad.astype(int))
+    assert err.mean() <= 20  # lossy at q30, but structurally right
+
+
+def test_jpeg_rejects_unsupported_variants_and_garbage():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from movie_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # flip SOF0 -> SOF2 (progressive)
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    # subsampled: patch the component H/V byte inside SOF0
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 11] = 0x22  # 2x2 sampling
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 20),
+        quality=st.sampled_from([50, 75, 90]),
+        data=st.data(),
+    )
+    def test_jpeg_roundtrip_property(w, h, quality, data):
+        """decode(encode(img)) stays within lossy-codec tolerance for
+        arbitrary sizes — any entropy-coding desync fails by an order
+        of magnitude, so a loose bound still pins structure."""
+        import numpy as np
+
+        from movie_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        vals = data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+        )
+        img = np.array(vals, dtype=np.uint8).reshape(h, w)
+        out = decode_jpeg(encode_jpeg(img, quality=quality))
+        assert out.shape == (h, w, 1)
+        err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+        assert err.mean() <= 32
