@@ -7,15 +7,18 @@ work, and the marker stream is a chunk walk — none of it needs a
 library, only care. Scope is honest and explicit:
 
 - DECODE: baseline sequential DCT (SOF0), 8-bit, Huffman entropy
-  coding, 1 or 3 components with 1x1 sampling (4:4:4 or grayscale),
-  restart markers honored. Quant + Huffman tables are read from the
-  file's own DQT/DHT segments (never assumed), so output depends only
-  on the payload. Progressive (SOF2), arithmetic coding (SOF9+),
-  12-bit, and subsampled (4:2:0/4:2:2) streams raise
-  ``NotImplementedError`` — real limitations, stated, not stubbed.
-- ENCODE (asset synthesis + round-trip tests): grayscale or 4:4:4 RGB,
-  Annex-K example quant tables (quality-scaled) and Annex-K Huffman
-  tables, written into DQT/DHT so any conformant decoder reads them.
+  coding, 1 or 3 components with sampling factors up to 2x2 —
+  grayscale, 4:4:4, and the dominant real-world 4:2:0/4:2:2 layouts
+  (nearest-neighbor chroma upsample) — restart markers honored. Quant
+  + Huffman tables are read from the file's own DQT/DHT segments
+  (never assumed), so output depends only on the payload. Progressive
+  (SOF2), arithmetic coding (SOF9+), 12-bit, and sampling factors > 2
+  raise ``NotImplementedError`` — real limitations, stated, not
+  stubbed.
+- ENCODE (asset synthesis + round-trip tests): grayscale, 4:4:4 RGB,
+  or 4:2:0 RGB (2x2 box-averaged chroma), Annex-K example quant tables
+  (quality-scaled) and Annex-K Huffman tables, written into DQT/DHT so
+  any conformant decoder reads them.
 
 JPEG is LOSSY: round-trips are near, not exact, so unlike mm3/mm5/mm7
 an oracle cannot re-derive pixels in SQL. The mm8 catalog query instead
@@ -305,17 +308,20 @@ def _encode_block(
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 75
+    img: np.ndarray, quality: int = 75, subsample: str = "444"
 ) -> bytes:
     """Baseline sequential JPEG encoder: grayscale ([H,W] or [H,W,1])
-    or RGB ([H,W,3], encoded 4:4:4 — no subsampling). Deterministic:
-    fixed tables (written into DQT/DHT), float64 DCT, ``np.round``
-    quantization."""
+    or RGB ([H,W,3]). ``subsample``: "444" (no chroma subsampling) or
+    "420" (2x2 box-averaged chroma, the dominant real-world layout —
+    MCU interleaves 4 Y blocks + Cb + Cr). Deterministic: fixed tables
+    (written into DQT/DHT), float64 DCT, ``np.round`` quantization."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, wd, ncomp = img.shape
     if ncomp not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unknown subsample mode {subsample!r}")
     if h <= 0 or wd <= 0 or h > 65535 or wd > 65535:
         raise ValueError(f"invalid image dimensions {h}x{wd}")
     img = img.astype(np.float64)
@@ -328,6 +334,32 @@ def encode_jpeg(
         ]
     else:
         planes = [img[:, :, 0]]
+    sub420 = ncomp == 3 and subsample == "420"
+    # per-component sampling factors (hi, vi)
+    samp = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp[:ncomp])
+    vmax = max(s[1] for s in samp[:ncomp])
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    mcus_x = (wd + 8 * hmax - 1) // (8 * hmax)
+    # edge-pad each plane to its own MCU-aligned size; chroma planes
+    # box-averaged 2x2 first under 4:2:0
+    prepped = []
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        p = planes[ci]
+        if sub420 and ci > 0:
+            ph = p if h % 2 == 0 else np.pad(p, ((0, 1), (0, 0)), mode="edge")
+            ph = ph if wd % 2 == 0 else np.pad(ph, ((0, 0), (0, 1)), mode="edge")
+            p = (
+                ph[0::2, 0::2] + ph[1::2, 0::2]
+                + ph[0::2, 1::2] + ph[1::2, 1::2]
+            ) / 4.0
+        th, tw = mcus_y * vi * 8, mcus_x * hi * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        prepped.append(p)
+    planes = prepped
     qz = [
         _scale_quant(QUANT_LUMA, quality)[_ZZ_U, _ZZ_V],
         _scale_quant(QUANT_CHROMA, quality)[_ZZ_U, _ZZ_V],
@@ -351,7 +383,12 @@ def encode_jpeg(
         out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
     # SOF0
     comps = b"".join(
-        bytes([cid + 1, 0x11, 0 if cid == 0 else 1]) for cid in range(ncomp)
+        bytes([
+            cid + 1,
+            (samp[cid][0] << 4) | samp[cid][1],
+            0 if cid == 0 else 1,
+        ])
+        for cid in range(ncomp)
     )
     sof = bytes([8]) + struct.pack(">HH", h, wd) + bytes([ncomp]) + comps
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
@@ -371,25 +408,25 @@ def encode_jpeg(
     )
     sos = bytes([ncomp]) + scomps + bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    # entropy-coded data: MCU = one block per component (1x1 sampling)
+    # entropy-coded data: MCU interleaves Vi x Hi blocks per component
+    # (T.81 A.2.3); planes are already MCU-aligned by edge padding
     w = _BitWriter()
     prev_dc = [0] * ncomp
-    mcus_y = (h + 7) // 8
-    mcus_x = (wd + 7) // 8
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci in range(ncomp):
+                hi, vi = samp[ci]
                 plane = planes[ci]
-                block = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                if block.shape != (8, 8):  # edge replication padding
-                    bh, bw = block.shape
-                    block = np.pad(
-                        block, ((0, 8 - bh), (0, 8 - bw)), mode="edge"
-                    )
                 t = 0 if ci == 0 else 1
-                prev_dc[ci] = _encode_block(
-                    block, qz[t], prev_dc[ci], dc_codes[t], ac_codes[t], w
-                )
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        prev_dc[ci] = _encode_block(
+                            block, qz[t], prev_dc[ci],
+                            dc_codes[t], ac_codes[t], w,
+                        )
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -403,9 +440,9 @@ def encode_jpeg(
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JPEG decode -> H×W×C uint8 (C = 1 or 3,
     RGB for color). Tables come from the payload's own DQT/DHT
-    segments. Raises ``NotImplementedError`` for progressive /
-    arithmetic / 12-bit / subsampled streams and ``ValueError`` for
-    malformed data."""
+    segments. Sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0).
+    Raises ``NotImplementedError`` for progressive / arithmetic /
+    12-bit streams and ``ValueError`` for malformed data."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     quant: dict[int, np.ndarray] = {}
@@ -453,11 +490,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (only 1x1 sampling supported)"
+                        f"sampling factors {hi}x{vi} not supported "
+                        "(1x1/2x1/1x2/2x2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
             frame = (h, wd, comps)
@@ -500,7 +539,7 @@ def _decode_scan(
         raise ValueError(f"invalid JPEG dimensions {h}x{wd}")
     ncomp = len(comps)
     comp_tabs = []
-    for cid, tq in comps:
+    for cid, _hi, _vi, tq in comps:
         match = [s for s in scan if s[0] == cid]
         if not match:
             raise ValueError(f"JPEG: component {cid} missing from scan")
@@ -508,11 +547,14 @@ def _decode_scan(
         if tq not in quant or td not in huff_dc or ta not in huff_ac:
             raise ValueError("JPEG: scan references undefined table")
         comp_tabs.append((quant[tq], huff_dc[td], huff_ac[ta]))
-    mcus_y = (h + 7) // 8
-    mcus_x = (wd + 7) // 8
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    mcus_x = (wd + 8 * hmax - 1) // (8 * hmax)
+    # each component's plane at ITS resolution; upsampled after decode
     planes = [
-        np.zeros((mcus_y * 8, mcus_x * 8), dtype=np.float64)
-        for _ in range(ncomp)
+        np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), dtype=np.float64)
+        for c in comps
     ]
     reader = _BitReader(payload, pos)
     prev_dc = [0] * ncomp
@@ -528,38 +570,55 @@ def _decode_scan(
                 ):
                     reader.pos += 2
                 prev_dc = [0] * ncomp
+            # T.81 A.2.3: an MCU interleaves Vi x Hi blocks per
+            # component, raster order within the component
             for ci in range(ncomp):
+                _cid, hi, vi, _tq = comps[ci]
                 qt, dct, act = comp_tabs[ci]
-                zz = np.zeros(64, dtype=np.int64)
-                try:
-                    size = _huff_decode(reader, dct)
-                    diff = _extend(reader.bits(size), size)
-                    prev_dc[ci] += diff
-                    zz[0] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, act)
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG: AC run past block end")
-                        zz[k] = _extend(reader.bits(size), size)
-                        k += 1
-                except _MarkerHit as mh:
-                    raise ValueError(
-                        f"JPEG: marker 0x{mh.marker:02x} inside MCU"
-                    ) from None
-                coeffs = np.zeros((8, 8), dtype=np.float64)
-                coeffs[_ZZ_U, _ZZ_V] = zz * qt
-                block = _DCT_T.T @ coeffs @ _DCT_T + 128.0
-                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        try:
+                            size = _huff_decode(reader, dct)
+                            diff = _extend(reader.bits(size), size)
+                            prev_dc[ci] += diff
+                            zz[0] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(reader, act)
+                                run, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if run == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG: AC run past block end"
+                                    )
+                                zz[k] = _extend(reader.bits(size), size)
+                                k += 1
+                        except _MarkerHit as mh:
+                            raise ValueError(
+                                f"JPEG: marker 0x{mh.marker:02x} inside MCU"
+                            ) from None
+                        coeffs = np.zeros((8, 8), dtype=np.float64)
+                        coeffs[_ZZ_U, _ZZ_V] = zz * qt
+                        block = _DCT_T.T @ coeffs @ _DCT_T + 128.0
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    planes = [p[:h, :wd] for p in planes]
+    # nearest-neighbor chroma upsample to full resolution, then crop
+    planes = [
+        np.repeat(
+            np.repeat(p, vmax // comps[ci][2], axis=0),
+            hmax // comps[ci][1],
+            axis=1,
+        )[:h, :wd]
+        for ci, p in enumerate(planes)
+    ]
     if ncomp == 1:
         out = planes[0][:, :, None]
     else:

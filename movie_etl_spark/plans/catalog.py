@@ -4411,6 +4411,13 @@ DRIVER_PRIORITY: list[str] = [
     #    insert_if_absent dedup unit tests).
     #    Displaced veterans stay benched and selfchecked every round. ------
     "s1_discover",
+    # -- r7b additions (gr3, gr4, d6, t7, mm7, mm8) sit BELOW the
+    #    window on purpose: the staleness rule ("no query's latest
+    #    driver-green older than 2 rounds") outranks the new-first rule
+    #    when both can't fit — displacing six r5-aged veterans would
+    #    make them 3 rounds stale, while the r7b queries are
+    #    selfcheck-green (tools/selfcheck.py, hash-exact at sf0.01) and
+    #    pytest-backed now, and front-load the r8 window. ----------------
 ]
 
 

@@ -594,10 +594,11 @@ def test_jpeg_rejects_unsupported_variants_and_garbage():
     payload[i + 1] = 0xC2
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
-    # subsampled: patch the component H/V byte inside SOF0
+    # sampling factors beyond 2x2: patch the component H/V byte in SOF0
+    # (2x2 itself is now a REAL decode path — see the 420 test)
     payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     i = payload.index(b"\xff\xc0")
-    payload[i + 11] = 0x22  # 2x2 sampling
+    payload[i + 11] = 0x33  # 3x3 sampling
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
     with _pytest.raises(ValueError):
@@ -631,3 +632,39 @@ if HAVE_HYPOTHESIS:
         assert out.shape == (h, w, 1)
         err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
         assert err.mean() <= 32
+
+
+def test_jpeg_420_subsampled_roundtrip_and_flat_exact():
+    """4:2:0 — the dominant real-world JPEG layout: 2x2 box chroma
+    downsample in the encoder, interleaved 4Y+Cb+Cr MCUs, decoder
+    upsamples back. Smooth images stay tight; flat color exact."""
+    import numpy as np
+
+    from movie_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:32, 0:48]
+    smooth = np.stack(
+        [(x * 3 + y) % 256, (x + y * 2) % 256, (255 - x * 2 - y) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(smooth, quality=90, subsample="420"))
+    assert out.shape == smooth.shape
+    err = np.abs(out.astype(int) - smooth.astype(int))
+    assert err.max() <= 12
+    flat = np.full((16, 16, 3), [200, 50, 100], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, quality=90, subsample="420"))
+    assert int(np.abs(out.astype(int) - flat.astype(int)).max()) == 0
+    # odd sizes exercise MCU padding + chroma edge alignment
+    rng = np.random.default_rng(9)
+    for shape in ((5, 13), (17, 31), (9, 16)):
+        img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsample="420"))
+        assert out.shape == (*shape, 3)
+    # sampling factors > 2 still honestly rejected
+    import pytest as _pytest
+
+    payload = bytearray(encode_jpeg(smooth, subsample="420"))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 11] = 0x33
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
