@@ -661,3 +661,67 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     for b in range(bits):
         sig = sig + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_len: int = 64,
+) -> DataFrame:
+    """All DISTINCT string pairs within Levenshtein distance 1, via
+    deletion neighborhoods (the FastSS / SymSpell candidate scheme) —
+    never an all-pairs comparison.
+
+    Completeness argument (why sharing a single-deletion variant is a
+    complete candidate generator for ed<=1): if ``b`` substitutes one
+    char of ``a``, deleting that position from BOTH yields the same
+    string; if ``b`` inserts one char into ``a``, deleting it from
+    ``b`` yields ``a`` itself (every string is also its own 0-deletion
+    variant); deletion is the mirror case; equal strings share
+    trivially. So every ed<=1 pair collides on >=1 variant, and the
+    exact ``levenshtein() <= 1`` filter removes the false candidates
+    (distinct strings CAN share a variant at distance 2: ab/ba share
+    'a' and 'b').
+
+    At scale: a string of length L yields L+1 variants, so the explode
+    is O(total chars); the self-join shuffles on the md5 of the
+    variant (fixed-width key, skew-bounded because a variant bucket
+    holds only strings within ed<=1 of each other + distance-2
+    colliders); the exact verify runs per candidate, not per pair of
+    corpus strings. The quadratic brute force this replaces is the
+    first thing that dies at 100 TB of keys. ``max_len`` guards the
+    explode against pathological unbounded strings (longer strings
+    pass through a length-bucketed residual only if needed — here they
+    are simply excluded, documented behavior for key-matching use).
+
+    Returns ``(left, right)`` with ``left < right``, each pair once.
+    """
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(text_col).cast("string").alias("t"))
+        .filter(F.col("t").isNotNull() & (F.length("t") <= max_len))
+        .distinct()
+    )
+    # t itself + each single-deletion variant, exploded JVM-side
+    variants = base.select(
+        "t",
+        F.explode(
+            F.concat(
+                F.array(F.col("t")),
+                F.expr(
+                    "transform(sequence(1, length(t)), "
+                    "i -> concat(substring(t, 1, i - 1), "
+                    "substring(t, i + 1, length(t))))"
+                ),
+            )
+        ).alias("v"),
+    ).withColumn("vk", F.md5("v")).select("t", "vk").distinct()
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, F.col("a.vk") == F.col("b.vk"))
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("left"), F.col("b.t").alias("right"))
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("left", "right") <= 1)

@@ -4328,6 +4328,114 @@ def q_mm8_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_fidelity_check(assets)
 
 
+@register(
+    "w5_event_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS step1_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS step2_ts
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.step1_ts
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS step3_ts
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.step2_ts
+      GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CAST(CASE WHEN s3.step3_ts IS NOT NULL THEN 3
+                     WHEN s2.step2_ts IS NOT NULL THEN 2
+                     WHEN s1.step1_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_depth,
+           s1.step1_ts, s2.step2_ts, s3.step3_ts
+    FROM u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    """,
+    doc="conversion-funnel analysis: per-user ORDERED step progression "
+    "signup -> click -> purchase, where each step's timestamp must "
+    "strictly follow the previous step's (min ts of a click AFTER the "
+    "first signup, etc. — unordered conditional aggregation would "
+    "count a click that preceded the signup). Chained "
+    "aggregation+join, every shuffle on the same user_id key so AQE "
+    "reuses the partitioning; the product-analytics primitive "
+    "(conversion rates, drop-off points) every event store serves. "
+    "Deterministic: min over timestamps, no ties matter",
+)
+def q_w5_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("step1_ts"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("step1_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("step2_ts"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("step2_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("step3_ts"))
+    )
+    u = ev.select("user_id").distinct()
+    return (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("step3_ts").isNotNull(), 3)
+            .when(F.col("step2_ts").isNotNull(), 2)
+            .when(F.col("step1_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_depth"),
+            "step1_ts",
+            "step2_ts",
+            "step3_ts",
+        )
+    )
+
+
+@register(
+    "dd10_fuzzy_pairs",
+    """
+    WITH n AS (SELECT c_name AS t FROM customer)
+    SELECT a.t AS left, b.t AS right
+    FROM n a JOIN n b ON a.t < b.t AND levenshtein(a.t, b.t) <= 1
+    """,
+    doc="edit-distance<=1 fuzzy key matching via DELETION NEIGHBORHOODS "
+    "(operators.dedup.edit_distance_pairs; the FastSS/SymSpell scheme): "
+    "each string explodes into itself + its L single-deletion "
+    "variants, candidates are variant-hash collisions (one equi-join "
+    "on a fixed-width md5 key), then exact levenshtein verifies — "
+    "complete for ed<=1 because substitution/insert/delete pairs "
+    "always share a variant, and NEVER an all-pairs compare (the "
+    "quadratic brute force dies first at 100 TB of keys). The oracle "
+    "IS the quadratic brute force — an INDEPENDENT check of the "
+    "algorithm, feasible only at oracle scale (1500 names -> 2.25M "
+    "levenshtein evals in DuckDB), which is exactly the point",
+)
+def q_dd10_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.dedup import edit_distance_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    return edit_distance_pairs(c, "c_name")
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #

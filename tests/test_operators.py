@@ -583,3 +583,41 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert got[(3, 2)] == ("common", 1, 3)
     # 'xx' (len 2) never appears
     assert all(r.term != "xx" for r in out)
+
+
+def test_event_funnel_requires_ordered_steps(spark):
+    """A click BEFORE the signup must not advance the funnel; steps
+    chain strictly by timestamp."""
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "signup", dt(2024, 1, 1, 10)),
+        (1, "click", dt(2024, 1, 1, 11)),
+        (1, "purchase", dt(2024, 1, 1, 12)),
+        # user 2: click precedes signup -> depth stays 1
+        (2, "click", dt(2024, 1, 1, 9)),
+        (2, "signup", dt(2024, 1, 1, 10)),
+        # user 3: purchase before click-after-signup -> depth 2
+        (3, "signup", dt(2024, 1, 1, 10)),
+        (3, "purchase", dt(2024, 1, 1, 10, 30)),
+        (3, "click", dt(2024, 1, 1, 11)),
+        # user 4: never signed up -> depth 0
+        (4, "purchase", dt(2024, 1, 1, 10)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        for t in ("region", "nation"):  # unused but loadable dir shape
+            pass
+        from movie_etl_spark.plans.catalog import QUERIES
+
+        out = {
+            r.user_id: r.funnel_depth
+            for r in QUERIES["w5_event_funnel"].fn(spark, d).collect()
+        }
+    assert out == {1: 3, 2: 1, 3: 2, 4: 0}

@@ -393,3 +393,45 @@ def test_dup_clusters_label_prop_nonconvergence_falls_back_to_star(spark):
     }
     assert got == {(i, 0) for i in range(n)}
     release_caches()
+
+
+def test_edit_distance_pairs_complete_and_exact(spark):
+    """Substitution, insertion, and deletion pairs are all found; the
+    ab/ba distance-2 variant collision is rejected by the exact verify;
+    no self-pairs; each pair emitted once with left < right."""
+    from movie_etl_spark.operators.dedup import edit_distance_pairs
+
+    words = ["cat", "bat", "cart", "ca", "dog", "ab", "ba", "cat"]
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {
+        (r.left, r.right) for r in edit_distance_pairs(df, "t").collect()
+    }
+    assert got == {
+        ("bat", "cat"),   # substitution
+        ("cart", "cat"),  # insertion
+        ("ca", "cat"),    # deletion
+        ("ba", "bat"),    # insertion
+        ("ba", "ca"),     # substitution
+    }
+
+
+def test_edit_distance_pairs_rejects_distance_two_collisions(spark):
+    from movie_etl_spark.operators.dedup import edit_distance_pairs
+
+    # ab/ba share deletion variants 'a' and 'b' but levenshtein == 2
+    df = spark.createDataFrame([("ab",), ("ba",)], "t string")
+    assert edit_distance_pairs(df, "t").count() == 0
+
+
+def test_edit_distance_pairs_max_len_guard(spark):
+    from movie_etl_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [("x" * 100,), ("x" * 99,), ("short",), ("shore",)], "t string"
+    )
+    got = {
+        (r.left, r.right)
+        for r in edit_distance_pairs(df, "t", max_len=64).collect()
+    }
+    # the 99/100-char pair is excluded by the guard; short/shore found
+    assert got == {("shore", "short")}
