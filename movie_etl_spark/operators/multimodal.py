@@ -407,7 +407,9 @@ def decode_audio_stats(assets: DataFrame) -> DataFrame:
                 "duration_ms", "sample_sum", "sample_min", "sample_max",
             )}
             for aid, b in zip(pdf["asset_id"], pdf["payload"]):
-                frames, rate = decode_audio(bytes(b))
+                frames, rate = decode_audio(
+                    bytes(b) if b is not None else None
+                )
                 out["asset_id"].append(aid)
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(frames.shape[1])
@@ -523,7 +525,7 @@ def decode_images(assets: DataFrame) -> DataFrame:
                 "pixel_sum", "pixel_min", "pixel_max",
             )}
             for aid, b in zip(pdf["asset_id"], pdf["payload"]):
-                arr = decode_image(bytes(b))
+                arr = decode_image(bytes(b) if b is not None else None)
                 out["asset_id"].append(aid)
                 out["height"].append(arr.shape[0])
                 out["width"].append(arr.shape[1])
@@ -616,7 +618,7 @@ def perceptual_hashes(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("asset_id", "height", "width", "ahash", "dhash")}
             for aid, b in zip(pdf["asset_id"], pdf["payload"]):
-                arr = decode_image(bytes(b))
+                arr = decode_image(bytes(b) if b is not None else None)
                 a, d = perceptual_hash(arr)
                 out["asset_id"].append(aid)
                 out["height"].append(arr.shape[0])

@@ -668,3 +668,16 @@ def test_jpeg_420_subsampled_roundtrip_and_flat_exact():
     payload[i + 11] = 0x33
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
+
+
+def test_decode_images_null_payload_fails_with_documented_error(spark):
+    """A NULL payload row must surface the decoders' documented
+    ValueError, not a bytes(None) TypeError from inside the Arrow
+    batch loop."""
+    from movie_etl_spark.operators.multimodal import decode_images
+
+    df = spark.createDataFrame(
+        [(1, None)], "asset_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="empty or truncated payload"):
+        decode_images(df).collect()
