@@ -1,0 +1,104 @@
+"""Declarative data-quality checks (engine extension).
+
+The reference trusts its stores to enforce quality (Postgres
+constraints, Neo4j uniqueness — SURVEY §2.7); a lakehouse engine has no
+constraint engine, so quality is a QUERY: declare rules, evaluate them
+all in ONE scan + ONE aggregate (map-side partials, a single reduced
+row), emit one row per rule. The Deequ / dbt-tests / Great-Expectations
+primitive, shaped for 100 TB: rule count never changes the number of
+passes over the data, and nothing leaves the executors but the
+violation counters.
+
+Rule forms (dicts, declarative):
+
+- ``{"rule": "not_null", "col": c}`` — violations = NULL count
+- ``{"rule": "range", "col": c, "min": lo, "max": hi}`` — violations =
+  non-NULL values outside [lo, hi] (NULLs are not_null's job)
+- ``{"rule": "accepted_values", "col": c, "values": [...]}`` —
+  violations = non-NULL values outside the set
+- ``{"rule": "unique", "cols": [c, ...]}`` — violations = row count
+  minus distinct key count (0 when the key is unique)
+- ``{"rule": "non_empty"}`` — violations = 1 if the table has no rows
+
+Each output row: ``(rule_id, passed, violations)``, rule_id =
+``<rule>:<col-or-cols>`` — deterministic, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_quality(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate declarative quality rules in one scan; see module doc."""
+    aggs = []
+    ids = []
+    for r in rules:
+        kind = r["rule"]
+        if kind == "not_null":
+            c = r["col"]
+            ids.append(f"not_null:{c}")
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+            )
+        elif kind == "range":
+            c = r["col"]
+            ids.append(f"range:{c}")
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & ((F.col(c) < r["min"]) | (F.col(c) > r["max"])),
+                        1,
+                    ).otherwise(0)
+                ).cast("long")
+            )
+        elif kind == "accepted_values":
+            c = r["col"]
+            ids.append(f"accepted_values:{c}")
+            vals = F.array(*[F.lit(v) for v in r["values"]])
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull()
+                        & ~F.array_contains(vals, F.col(c)),
+                        1,
+                    ).otherwise(0)
+                ).cast("long")
+            )
+        elif kind == "unique":
+            cols = r["cols"]
+            ids.append("unique:" + ",".join(cols))
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(*[F.col(c) for c in cols])
+                ).cast("long")
+            )
+        elif kind == "non_empty":
+            ids.append("non_empty:")
+            aggs.append(
+                F.when(F.count(F.lit(1)) == 0, 1).otherwise(0).cast("long")
+            )
+        else:
+            raise ValueError(f"unknown quality rule {kind!r}")
+    # sum() over an empty frame is NULL; a rule with nothing to violate
+    # must read as passed (0 violations), not NULL
+    one = df.agg(*[
+        F.coalesce(a, F.lit(0).cast("long")).alias(f"_v{i}")
+        for i, a in enumerate(aggs)
+    ])
+    # one aggregated row -> one output row per rule (stack is a pure
+    # projection over the single reduced row; no second pass)
+    stack_args = ", ".join(
+        f"'{rid}', _v{i}" for i, rid in enumerate(ids)
+    )
+    return one.selectExpr(
+        f"stack({len(ids)}, {stack_args}) AS (rule_id, violations)"
+    ).select(
+        "rule_id",
+        (F.col("violations") == 0).alias("passed"),
+        "violations",
+    )

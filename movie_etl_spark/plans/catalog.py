@@ -4436,6 +4436,56 @@ def q_dd10_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(c, "c_name")
 
 
+@register(
+    "dq1_quality_checks",
+    """
+    WITH v AS (
+      SELECT
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS v0,
+        CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v1,
+        CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                       AND o_orderpriority NOT IN
+                           ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM orders
+    )
+    SELECT rule_id, passed, violations FROM (
+      SELECT 'not_null:o_custkey' AS rule_id, v0 = 0 AS passed,
+             v0 AS violations FROM v
+      UNION ALL SELECT 'unique:o_orderkey', v1 = 0, v1 FROM v
+      UNION ALL SELECT 'range:o_totalprice', v2 = 0, v2 FROM v
+      UNION ALL SELECT 'accepted_values:o_orderpriority', v3 = 0, v3 FROM v
+    )
+    """,
+    doc="declarative data-quality checks (operators.dq.check_quality — "
+    "the Deequ / dbt-tests primitive): not-null, key-uniqueness, "
+    "numeric range, and accepted-values rules ALL evaluated in one "
+    "scan + one aggregate (map-side partials; rule count never adds "
+    "passes over the data — the 100 TB property), stacked to one row "
+    "per rule. The accepted-values rule is deliberately too strict "
+    "(3 of TPC-H's 5 priorities) so the report exercises the FAILING "
+    "path with real violation counts, not just a page of greens. The "
+    "reference delegates this to store constraints (Postgres ON "
+    "CONFLICT, Neo4j uniqueness — SURVEY §2.7); plain parquet makes "
+    "it a query",
+)
+def q_dq1_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.dq import check_quality
+
+    o = _t(spark, sf_dir, "orders")
+    return check_quality(o, [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "unique", "cols": ["o_orderkey"]},
+        {"rule": "range", "col": "o_totalprice", "min": 0, "max": 1_000_000},
+        {"rule": "accepted_values", "col": "o_orderpriority",
+         "values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]},
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #

@@ -621,3 +621,34 @@ def test_event_funnel_requires_ordered_steps(spark):
             for r in QUERIES["w5_event_funnel"].fn(spark, d).collect()
         }
     assert out == {1: 3, 2: 1, 3: 2, 4: 0}
+
+
+def test_check_quality_rules_and_failure_counts(spark):
+    from movie_etl_spark.operators.dq import check_quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, -5.0, "b"), (2, 50.0, None), (3, 999.0, "z")],
+        "k long, v double, s string",
+    )
+    out = {r.rule_id: (r.passed, r.violations) for r in check_quality(df, [
+        {"rule": "not_null", "col": "s"},
+        {"rule": "unique", "cols": ["k"]},
+        {"rule": "range", "col": "v", "min": 0, "max": 100},
+        {"rule": "accepted_values", "col": "s", "values": ["a", "b"]},
+        {"rule": "non_empty"},
+    ]).collect()}
+    assert out["not_null:s"] == (False, 1)
+    assert out["unique:k"] == (False, 1)       # k=2 twice
+    assert out["range:v"] == (False, 2)        # -5 and 999
+    assert out["accepted_values:s"] == (False, 1)  # 'z' (NULL not counted)
+    assert out["non_empty:"] == (True, 0)
+    # empty frame: non_empty fails, everything else trivially passes
+    empty = df.limit(0)
+    out2 = {r.rule_id: r.passed for r in check_quality(empty, [
+        {"rule": "non_empty"}, {"rule": "not_null", "col": "s"},
+    ]).collect()}
+    assert out2 == {"non_empty:": False, "not_null:s": True}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown quality rule"):
+        check_quality(df, [{"rule": "nope"}])

@@ -182,3 +182,37 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(split" in plan
     assert back.count() == 30
     assert {r.doc_id % 10 for r in back.collect()} == {8}
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: joining a partitioned fact against a FILTERED dim must
+    inject a dynamicpruning subquery on the fact's partition column —
+    at 100 TB this skips every partition the dim filter excludes,
+    without the filter being statically known. (The static cousin is
+    test_partitioned_write_prunes_on_read.)"""
+    from pyspark.sql import functions as F
+
+    from movie_etl_spark.sources.sinks import write_partitioned
+
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("part_key"),
+        (F.col("id") * 3).alias("val"),
+    )
+    path = str(tmp_path / "fact")
+    write_partitioned(fact, path, ["part_key"])
+    dim = spark.range(0, 7).select(
+        F.col("id").alias("part_key"),
+        F.when(F.col("id") < 2, "keep").otherwise("drop").alias("flag"),
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("flag") == "keep"), "part_key")
+        .groupBy("part_key")
+        .agg(F.sum("val").alias("s"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result is right: partitions 0 and 1 only
+    got = {r.part_key for r in joined.collect()}
+    assert got == {0, 1}
