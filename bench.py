@@ -91,9 +91,15 @@ def main() -> None:
     if errors:
         out["n_failed"] = len(errors)
         out["errors"] = errors
-    # full-catalog runs own BENCH_LOCAL.json (the committed lossless
-    # record); subset runs must not clobber it
-    local = "BENCH_LOCAL.json" if not selected else "BENCH_SUBSET.json"
+    # full-catalog runs at the DEFAULT sf own BENCH_LOCAL.json (the
+    # committed lossless record); subset runs and alternate-scale runs
+    # (e.g. the sf1 scale sweep) must not clobber it
+    if selected:
+        local = "BENCH_SUBSET.json"
+    elif SF_DIR != "/root/testdata/sf0.1":
+        local = f"BENCH_SF{sf_from_dir(SF_DIR)}.json"
+    else:
+        local = "BENCH_LOCAL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            local), "w") as f:
         json.dump(out, f, indent=1)

@@ -11,13 +11,15 @@ each table with disjoint key spaces. The point is a SCALING measurement
 substrate, so each replica must be statistically equivalent to the
 original yet not create cross-replica artifacts:
 
-- ``documents``: doc_id offset per replica; every token salted with the
-  replica id. Salting bijectively renames each replica's shingle space,
-  so the WITHIN-replica near-duplicate structure (what dd3/dd4/cc1
-  measure) is preserved exactly while replicas stay disjoint — naive
-  copies would put every doc in a FACTOR-sized near-dup clique and make
-  candidate-pair counts scale quadratically for data reasons, not plan
-  reasons.
+- ``documents``: doc_id offset per replica; text renamed by a
+  LENGTH-PRESERVING per-character Caesar shift keyed by the replica id
+  (a bijection on [a-z]/[A-Z]/[0-9]). Every token boundary, length, and
+  within-replica shingle/gram collision is preserved exactly (shifted
+  k-grams collide iff the originals did) while replica vocabularies stay
+  disjoint up to rare coincidental word collisions — naive copies would put every doc in a FACTOR-sized
+  near-dup clique, and the earlier token-APPEND salt inflated char
+  volume 1.49x and distorted linear-in-chars scale readings (r7b
+  audit).
 - ``embeddings``: vec_id offset; elementwise deterministic ±1 sign
   pattern per replica. dot(s∘a, s∘b) == dot(a, b), so intra-replica
   cosine geometry (dd6/dd8/v3's subject) is preserved EXACTLY; cross-
@@ -69,15 +71,26 @@ def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
         return df
     if table == "documents":
         df = _offset(df, "doc_id", i, 1_000_000)
+        # LENGTH-PRESERVING bijective rename: per-character Caesar shift
+        # by the replica id over [a-z], [A-Z], [0-9] (other chars kept).
+        # The r7b scale audit found the previous token-append salt
+        # inflated sf1's character volume 1.49x, which silently turned
+        # linear-in-chars operators (winnowing t3/cc2) into apparent
+        # ~14x "super-linear" readings at 10x. A per-char bijection
+        # preserves every length, token boundary, and within-replica
+        # shingle/gram collision structure EXACTLY (shifted k-grams
+        # collide iff the originals did) while keeping replicas
+        # mutually disjoint — so char volume scales exactly FACTOR x.
+        lower = "abcdefghijklmnopqrstuvwxyz"
+        upper = lower.upper()
+        digit = "0123456789"
+        shifted = (
+            lower[i % 26 :] + lower[: i % 26]
+            + upper[i % 26 :] + upper[: i % 26]
+            + digit[i % 10 :] + digit[: i % 10]
+        )
         return df.withColumn(
-            "text",
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.concat(t, F.lit(f"~r{i}")),
-                ),
-                " ",
-            ),
+            "text", F.translate("text", lower + upper + digit, shifted)
         )
     if table == "embeddings":
         df = _offset(df, "vec_id", i, 1_000_000)
