@@ -1,0 +1,138 @@
+"""Deterministic fixed-point k-means (engine extension).
+
+The classic centroid-clustering primitive a corpus pipeline uses for
+topic bucketing, embedding-space exploration, and as the training step
+IVF-style ANN indexes (operators/similarity.py:ivf_top_k) presuppose.
+
+Float k-means cannot be exact-hash-checked across engines: centroid
+means accumulate in nondeterministic order and ties flip on last-ulp
+differences. The same trick that makes gr1's PageRank bit-exact applies
+(graph_algos.py module doc): quantize inputs to NON-NEGATIVE integers
+(callers shift+scale; non-negativity matters because truncating integer
+division then agrees between Spark's ``div`` and DuckDB's ``//``), run
+Lloyd's iterations in pure integer arithmetic — squared-L2 distances
+are exact int64 sums, tie-breaks go to the smaller centroid id, and
+centroid updates are elementwise ``sum div count`` — so every
+assignment and every centroid is bit-stable across engines,
+partitionings, and retries, and an unrolled recursive-SQL oracle
+hash-matches exactly.
+
+Scale shape per iteration (the BSP contract of pagerank/bfs):
+
+- centroids live in ONE aggregated row (k * dim ints), broadcast to a
+  crossJoin — never a driver collect;
+- assignment is a pure array expression (``aggregate`` over the
+  zipped centroid list) inside whole-stage codegen — corpus x k
+  distance evals, linear, no shuffle;
+- the centroid update is ONE groupBy(cid) with ``dim`` columnar sums
+  (map-side partials) — the only shuffle, k rows out;
+- empty clusters keep their previous centroid (left-join rule), so k
+  never silently shrinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from movie_etl_spark.session import cache_tracked
+
+
+def _dist_expr(vec_col: str, cent_field: str) -> str:
+    """int64 squared-L2 between an array<long> column and a centroid
+    array field, as a SQL expression string (codegen-friendly)."""
+    return (
+        f"aggregate(zip_with({vec_col}, {cent_field}, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"
+    )
+
+
+def kmeans_fixed_point(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over NON-NEGATIVE integer vectors
+    (``array<long>``), fully deterministic; see module doc.
+
+    Init: the ``k`` vectors with the smallest ``(md5(id), id)`` —
+    an engine-portable pseudo-random draw computed with a
+    TakeOrderedAndProject (per-partition top-k, never a global sort).
+    Returns ``(id, cluster_id)`` for the assignment AFTER the final
+    centroid update. ``dim`` defaults to the first row's length and
+    must be uniform (callers quantizing with a fixed scheme guarantee
+    this).
+    """
+    vx = cache_tracked(
+        vectors.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_x")
+        )
+    )
+    if dim is None:
+        dim = len(vx.select("_x").limit(1).collect()[0][0])
+    seeds = (
+        vx.select(
+            "_id", "_x", F.md5(F.col("_id").cast("string")).alias("_h")
+        )
+        .orderBy("_h", "_id")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    # k rows: the window sort is over a k-sized frame, not the corpus
+    cents = seeds.select(
+        (
+            F.row_number().over(Window.orderBy("_h", "_id")) - 1
+        ).alias("cid"),
+        F.col("_x").alias("cvec"),
+    )
+
+    def one_row(c: DataFrame) -> DataFrame:
+        """centroids -> a single broadcastable row holding the sorted
+        struct list (sorted by cid, so the strict-less argmin tie-break
+        lands on the smaller cid)."""
+        return c.agg(
+            F.sort_array(
+                F.collect_list(F.struct("cid", "cvec"))
+            ).alias("_cents")
+        )
+
+    assign_expr = (
+        "aggregate(_cents, "
+        "struct(CAST(-1 AS INT) AS cid, CAST(9223372036854775807 AS BIGINT) AS dist), "
+        "(acc, c) -> CASE WHEN " + _dist_expr("_x", "c.cvec")
+        + " < acc.dist THEN struct(c.cid AS cid, "
+        + _dist_expr("_x", "c.cvec")
+        + " AS dist) ELSE acc END).cid"
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        return vx.crossJoin(F.broadcast(one_row(c))).select(
+            "_id", "_x", F.expr(assign_expr).alias("cid")
+        )
+
+    for _ in range(iterations):
+        assigned = assign(cents)
+        sums = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at("_x", d + 1)).alias(f"_s{d}")
+                for d in range(dim)
+            ],
+        )
+        moved = sums.select(
+            "cid",
+            F.array(
+                *[F.expr(f"_s{d} div _n") for d in range(dim)]
+            ).alias("mvec"),
+        )
+        # empty clusters keep their previous centroid
+        cents = cents.join(moved, "cid", "left").select(
+            "cid", F.coalesce("mvec", "cvec").alias("cvec")
+        )
+    return assign(cents).select(
+        F.col("_id").alias(id_col), F.col("cid").alias("cluster_id")
+    )

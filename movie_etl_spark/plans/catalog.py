@@ -4486,6 +4486,89 @@ def q_dq1_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+_KMEANS_ITER_SQL = """
+a{n} AS (
+  SELECT id, x, cid FROM (
+    SELECT v.id, v.x, c.cid,
+      row_number() OVER (PARTITION BY v.id ORDER BY
+        list_sum(list_transform(range(1, 65),
+          d -> (v.x[d] - c.cvec[d]) * (v.x[d] - c.cvec[d]))), c.cid) AS rn
+    FROM vx v CROSS JOIN c{p} c
+  ) WHERE rn = 1
+),
+m{n} AS (
+  SELECT cid, list(s ORDER BY d) AS mvec FROM (
+    SELECT a.cid, dd.d, sum(a.x[dd.d]) // count(*) AS s
+    FROM a{n} a CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+    GROUP BY a.cid, dd.d
+  ) GROUP BY cid
+),
+c{n} AS (
+  SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+  FROM c{p} c LEFT JOIN m{n} m ON m.cid = c.cid
+)"""
+
+
+@register(
+    "v7_kmeans_clusters",
+    """
+    WITH vx AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(round((x + 1) * 1000) AS BIGINT)) AS x
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT id, x, md5(CAST(id AS VARCHAR)) AS h
+      FROM vx ORDER BY h, id LIMIT 8
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, id) - 1 AS INT) AS cid,
+             x AS cvec
+      FROM seeds
+    ),"""
+    + ",".join(_KMEANS_ITER_SQL.format(n=i, p=i - 1) for i in (1, 2))
+    + """,
+    af AS (
+      SELECT id, cid FROM (
+        SELECT v.id, c.cid,
+          row_number() OVER (PARTITION BY v.id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              d -> (v.x[d] - c.cvec[d]) * (v.x[d] - c.cvec[d]))), c.cid) AS rn
+        FROM vx v CROSS JOIN c2 c
+      ) WHERE rn = 1
+    )
+    SELECT id AS vec_id, CAST(cid AS INT) AS cluster_id FROM af
+    """,
+    doc="deterministic fixed-point k-means (operators.clustering."
+    "kmeans_fixed_point): 2 Lloyd's iterations, k=8, over embeddings "
+    "quantized to NON-NEGATIVE integers (round((e+1)*1000) — "
+    "non-negativity makes truncating div portable between engines). "
+    "Float k-means could never hash-match across engines (order-"
+    "dependent float means, last-ulp tie flips); integer arithmetic "
+    "with smaller-cid tie-breaks makes every assignment and centroid "
+    "bit-exact, so the unrolled recursive-SQL oracle (the gr1 "
+    "technique) matches exactly. Scale shape per iteration: centroids "
+    "as ONE broadcast row, assignment a pure codegen array expression "
+    "(corpus x k, no shuffle), update one groupBy with 64 columnar "
+    "partial sums, empty clusters keep their centroid. This is the "
+    "training step IVF ANN (v3) presupposes, done engine-native",
+)
+def q_v7_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.clustering import kmeans_fixed_point
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round((x + F.lit(1.0)) * 1000).cast("long"),
+        ).alias("xq"),
+    )
+    return kmeans_fixed_point(
+        e, "vec_id", "xq", k=8, iterations=2, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #

@@ -219,3 +219,55 @@ def test_int8_rerank_recall_on_clustered_corpus(spark):
     strict_tight, tolerant_tight = measure(30, 0.1)
     assert strict_tight >= 0.7, strict_tight
     assert tolerant_tight >= 0.85, tolerant_tight
+
+
+# ---------------------------------------------------------------------------
+# k-means (v7) — operators/clustering.py
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    import random
+
+    from movie_etl_spark.operators.clustering import kmeans_fixed_point
+
+    rng = random.Random(1)
+    bases = [(0, 0, 0, 0), (100, 100, 100, 100), (200, 0, 200, 0)]
+    rows = [
+        (i, [b + rng.randrange(0, 8) for b in bases[i % 3]])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<bigint>")
+    out = kmeans_fixed_point(df, "id", "v", k=3, iterations=3).collect()
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for r in out:
+        groups[r.cluster_id].add(r.id % 3)
+    # each discovered cluster maps to exactly one true group
+    assert sorted(map(tuple, map(sorted, groups.values()))) == [
+        (0,), (1,), (2,)
+    ]
+    # bit-determinism across runs
+    out2 = kmeans_fixed_point(df, "id", "v", k=3, iterations=3).collect()
+    assert sorted((r.id, r.cluster_id) for r in out) == sorted(
+        (r.id, r.cluster_id) for r in out2
+    )
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k larger than the number of distinct points: the starved
+    centroid keeps its previous position (k never silently shrinks)
+    and every point still gets a deterministic assignment."""
+    from movie_etl_spark.operators.clustering import kmeans_fixed_point
+
+    rows = [(i, [0, 0]) for i in range(3)] + [(i, [100, 100]) for i in (3, 4)]
+    df = spark.createDataFrame(rows, "id long, v array<bigint>")
+    out = kmeans_fixed_point(df, "id", "v", k=4, iterations=2).collect()
+    assert len(out) == 5
+    assert all(0 <= r.cluster_id < 4 for r in out)
+    # the two true groups never land in the same cluster
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.id < 3)
+    assert all(len(v) == 1 for v in by_cluster.values())
