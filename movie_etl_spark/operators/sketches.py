@@ -1,0 +1,129 @@
+"""Portable mergeable sketches (engine extension).
+
+``approx_count_distinct`` (ap1) treats the sketch as an engine-internal
+black box — fine for one-shot answers, but the 100 TB pattern is the
+sketch AS DATA: per-partition/per-day register vectors stored in the
+lake and merged associatively at query time (Druid / BigQuery /
+ClickHouse sketch columns), so a year of daily distinct-user sketches
+folds into one estimate without touching raw data again.
+
+That requires the sketch to be PORTABLE: built from an explicit
+engine-agnostic hash (md5, as everywhere in this repo) so any engine
+computes bit-identical registers. This module implements classic
+HyperLogLog (Flajolet et al., 2007) that way:
+
+- hash: first 8 md5 hex chars as a 32-bit integer (every intermediate
+  fits a double exactly, so nothing depends on 64-bit float edge
+  behavior);
+- bucket: top ``p`` bits; remainder: the low ``W = 32 - p`` bits;
+- rho: 1-based position of the first 1-bit in the remainder, computed
+  by an explicit W-branch CASE over integer bit tests — NO floats, no
+  ``log2`` portability risk; all-zero remainder caps at W + 1;
+- register[b] = max(rho) over the group — ``m`` columnar conditional
+  max-aggregates in ONE pass (no explode, map-side partials), the same
+  single-aggregate shape as clustering's centroid sums and dq's rules;
+- estimate: alpha_m * m^2 / sum(2^-reg) with the standard small-range
+  linear-counting correction. Every 2^-reg is an exact double summed
+  in a FIXED order (b = 0..m-1 explicitly), so both engines produce
+  the identical double; rounding to 4dp absorbs the one transcendental
+  (ln) ulp in the linear-counting branch.
+
+Merge = elementwise max of registers — associative, commutative,
+idempotent. The pytest property: sketch(A ∪ B) == merge(sketch(A),
+sketch(B)) EXACTLY (max is exact, not approximate), which is the
+property that makes partitioned/incremental maintenance correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# alpha_m constants from the HLL paper
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def _bucket_rho(value: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, rho) from the 32-bit md5-prefix hash; see module doc."""
+    w = 32 - p
+    h = F.conv(F.substring(F.md5(value.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    bucket = F.shiftrightunsigned(h, w).cast("int")
+    rest = h.bitwiseAND(F.lit((1 << w) - 1))
+    # nested CASE, built inside-out: the innermost default is the
+    # all-zero cap, and wrapping upward ends with the HIGHEST bit's
+    # test outermost — so the first (leftmost) set bit wins
+    rho = F.lit(w + 1)
+    for i in reversed(range(w)):  # wrap lowest-priority first
+        pos = w - 1 - i  # i = 0 (outermost) tests the top remainder bit
+        rho = F.when(
+            F.shiftrightunsigned(rest, pos).bitwiseAND(F.lit(1)) == 1,
+            F.lit(i + 1),
+        ).otherwise(rho)
+    return bucket, rho.cast("int")
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HLL registers: ``group_cols + [registers]`` where
+    ``registers`` is an array<int> of length m = 2^p. One scan, one
+    aggregate."""
+    m = 1 << p
+    bucket, rho = _bucket_rho(F.col(value_col), p)
+    base = df.select(*group_cols, bucket.alias("_b"), rho.alias("_r"))
+    regs = base.groupBy(*group_cols).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_b") == b, F.col("_r"))), F.lit(0)
+            ).alias(f"_m{b}")
+            for b in range(m)
+        ]
+    )
+    return regs.select(
+        *group_cols,
+        F.array(*[F.col(f"_m{b}") for b in range(m)]).alias("registers"),
+    )
+
+
+def hll_estimate(registers: Column, p: int = 6, decimals: int = 4) -> Column:
+    """Cardinality estimate from a register array (small-range linear
+    counting below 2.5m with empty registers), rounded for cross-engine
+    hash stability."""
+    m = 1 << p
+    inv_sum = None
+    for b in range(m):
+        term = F.pow(F.lit(2.0), -F.element_at(registers, b + 1))
+        inv_sum = term if inv_sum is None else inv_sum + term
+    raw = F.lit(_alpha(m) * m * m) / inv_sum
+    zeros = F.size(F.filter(registers, lambda r: r == 0))
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return F.round(est, decimals)
+
+
+def merge_hll(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold sketch rows by elementwise register max — the associative
+    merge that makes partitioned/incremental maintenance exact.
+    (collect_list is sorted before folding only to fix the fold order;
+    max is order-independent, the sort just keeps plans deterministic.)
+    """
+    return (
+        sketches.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("registers")).alias("_all"))
+        .select(
+            *group_cols,
+            F.expr(
+                "aggregate(slice(_all, 2, size(_all)), _all[0], "
+                "(acc, r) -> zip_with(acc, r, (a, b) -> greatest(a, b)))"
+            ).alias("registers"),
+        )
+    )

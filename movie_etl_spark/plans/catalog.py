@@ -4569,6 +4569,103 @@ def q_v7_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle_sql(p: int = 6) -> str:
+    """DuckDB twin of operators.sketches: identical 32-bit md5 hash,
+    bucket/rho bit tests, 64 conditional register maxes, fixed-order
+    estimate sum — generated, not hand-typed, so the two engines stay
+    in lockstep by construction."""
+    m = 1 << p
+    w = 32 - p
+    rho_case = "CASE " + " ".join(
+        f"WHEN ((rest >> {w - 1 - i}) & 1) = 1 THEN {i + 1}"
+        for i in range(w)
+    ) + f" ELSE {w + 1} END"
+    reg_maxes = ", ".join(
+        f"coalesce(max(CASE WHEN b = {b} THEN r END), 0) AS _m{b}"
+        for b in range(m)
+    )
+    regs_list = "list_value(" + ", ".join(f"_m{b}" for b in range(m)) + ")"
+    inv_sum = " + ".join(f"power(2.0, -_m{b})" for b in range(m))
+    zeros = " + ".join(
+        f"(CASE WHEN _m{b} = 0 THEN 1 ELSE 0 END)" for b in range(m)
+    )
+    alpha_m2 = 0.709 * m * m
+    return f"""
+    WITH h AS (
+      SELECT o_orderpriority AS grp,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM orders
+    ),
+    br AS (
+      SELECT grp, (hv >> {w}) AS b, (hv & {(1 << w) - 1}) AS rest FROM h
+    ),
+    rr AS (SELECT grp, b, {rho_case} AS r FROM br),
+    regs AS (SELECT grp, {reg_maxes} FROM rr GROUP BY grp),
+    est0 AS (
+      SELECT grp, {regs_list} AS registers,
+             {alpha_m2} / ({inv_sum}) AS raw,
+             {zeros} AS zeros
+      FROM regs
+    ),
+    ex AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cnt
+      FROM orders GROUP BY 1
+    )
+    SELECT e.grp AS o_orderpriority,
+           e.registers,
+           round(CASE WHEN e.raw <= {2.5 * m} AND e.zeros > 0
+                      THEN {float(m)} * ln({float(m)} / e.zeros)
+                      ELSE e.raw END, 4) AS est,
+           ex.exact_cnt,
+           abs((CASE WHEN e.raw <= {2.5 * m} AND e.zeros > 0
+                     THEN {float(m)} * ln({float(m)} / e.zeros)
+                     ELSE e.raw END) - ex.exact_cnt)
+             <= 0.25 * ex.exact_cnt AS within_bound
+    FROM est0 e JOIN ex ON ex.grp = e.grp
+    """
+
+
+@register(
+    "hll1_mergeable_sketch",
+    _hll_oracle_sql(6),
+    doc="PORTABLE mergeable HyperLogLog (operators.sketches): per-"
+    "priority distinct-customer sketches whose 64 registers are "
+    "engine-agnostic DATA (32-bit md5 hash, integer bit-test rho — no "
+    "float in the register path), so the oracle recomputes the EXACT "
+    "same register vector and the 4dp-rounded estimate hash-matches. "
+    "ap1 checks the engine's opaque HLL against an accuracy contract; "
+    "THIS is the sketch-as-a-column pattern (Druid/BigQuery/ClickHouse "
+    "sketch columns) that 100 TB incremental pipelines actually store: "
+    "registers merge by elementwise max (sketch(A∪B) == "
+    "merge(sketch(A), sketch(B)) EXACTLY — pytest-proven), so daily "
+    "sketches fold associatively without re-touching raw data. One "
+    "scan, one aggregate (64 columnar conditional maxes, map-side "
+    "partials); estimate = fixed-order sum of exact 2^-reg doubles + "
+    "the standard small-range linear-counting branch, plus an "
+    "ap1-style ±25% accuracy boolean vs the exact count",
+)
+def q_hll1_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.sketches import hll_estimate, hll_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    sk = hll_sketch(o, "o_custkey", ["o_orderpriority"], p=6)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_cnt")
+    )
+    est = hll_estimate(F.col("registers"), p=6)
+    return sk.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "registers",
+        est.alias("est"),
+        "exact_cnt",
+        (F.abs(est - F.col("exact_cnt")) <= 0.25 * F.col("exact_cnt")).alias(
+            "within_bound"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #

@@ -79,3 +79,57 @@ def test_empty_and_blank_corpus(spark):
         [(0, ""), (1, "   "), (2, None)], "doc_id long, text string"
     )
     assert heavy_hitters(df, "text", k=5).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketches (hll1) — operators/sketches.py
+# ---------------------------------------------------------------------------
+
+
+def test_hll_merge_equals_sketch_of_union_exactly(spark):
+    """The property that makes sketch columns safe to maintain
+    incrementally: merging per-partition sketches yields BIT-IDENTICAL
+    registers to sketching the union (max is exact)."""
+    from pyspark.sql import functions as F
+
+    from movie_etl_spark.operators.sketches import hll_sketch, merge_hll
+
+    a = spark.range(0, 3000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    b = spark.range(2000, 7000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    union_regs = hll_sketch(a.union(b), "v", ["g"]).collect()[0].registers
+    parts = hll_sketch(a, "v", ["g"]).union(hll_sketch(b, "v", ["g"]))
+    merged = merge_hll(parts, ["g"]).collect()[0].registers
+    assert merged == union_regs
+
+
+def test_hll_estimate_accuracy_and_small_range(spark):
+    from pyspark.sql import functions as F
+
+    from movie_etl_spark.operators.sketches import hll_estimate, hll_sketch
+
+    # large range: ~1.04/sqrt(64) ~ 13% std error; assert 3 sigma
+    df = spark.range(0, 10000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    est = (
+        hll_sketch(df, "v", ["g"])
+        .select(hll_estimate(F.col("registers")).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert abs(est - 10000) <= 0.4 * 10000
+    # small range: linear counting should land very close
+    small = spark.range(0, 12).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    est2 = (
+        hll_sketch(small, "v", ["g"])
+        .select(hll_estimate(F.col("registers")).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert abs(est2 - 12) <= 4
