@@ -247,3 +247,47 @@ def apply_changelog(
         .filter((F.col("_rn") == 1) & (~F.col(delete_col)))
         .drop("_rn", delete_col)
     )
+
+
+def merge_partial_aggregates(
+    old: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    spec: dict[str, str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a DELTA
+    aggregate into an existing aggregate table without recomputing
+    history — the pattern that keeps a 100 TB rollup current by
+    touching only the new slice (pair with
+    :func:`incremental_above_watermark` to define the slice).
+
+    ``spec`` maps measure column -> combiner: ``"sum"`` (counts and
+    sums re-aggregate by +), ``"max"`` / ``"min"`` (order statistics
+    re-aggregate by greatest/least). These are exactly the
+    DECOMPOSABLE aggregates; means ship as (sum, count) pairs and
+    divide at read time; non-decomposable measures (exact median)
+    need the raw slice by nature. Both inputs carry ``keys + measures``
+    with the same names; the merge is ONE full-outer join on the keys
+    + per-measure coalesce-combine — no history scan anywhere.
+    """
+    combined = old.alias("o").join(
+        delta.alias("d"), keys, "full_outer"
+    )
+    # joining on the key-name list yields single coalesced key columns
+    out_cols: list = [F.col(k) for k in keys]
+    for col, how in spec.items():
+        o, d = F.col(f"o.{col}"), F.col(f"d.{col}")
+        if how == "sum":
+            expr = F.when(o.isNull(), d).when(d.isNull(), o).otherwise(o + d)
+        elif how == "max":
+            expr = F.when(o.isNull(), d).when(d.isNull(), o).otherwise(
+                F.greatest(o, d)
+            )
+        elif how == "min":
+            expr = F.when(o.isNull(), d).when(d.isNull(), o).otherwise(
+                F.least(o, d)
+            )
+        else:
+            raise ValueError(f"unknown combiner {how!r} for {col!r}")
+        out_cols.append(expr.alias(col))
+    return combined.select(*out_cols)

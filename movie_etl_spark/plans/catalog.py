@@ -4666,6 +4666,53 @@ def q_hll1_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d7_incremental_agg",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    doc="incremental materialized-aggregate maintenance "
+    "(operators.upsert.merge_partial_aggregates): yesterday's rollup "
+    "(events <= the cutoff) is FOLDED with the new slice's aggregate "
+    "(events > cutoff, the incremental_above_watermark shape) via one "
+    "full-outer join + per-measure coalesce-combine — count/sum "
+    "re-aggregate by +, order statistics by greatest — so the rollup "
+    "stays current touching only the delta. The oracle recomputes the "
+    "aggregate FROM SCRATCH over all events: equality proves "
+    "incremental == full, the invariant that makes incremental MV "
+    "maintenance trustworthy (an INDEPENDENT check, same spirit as "
+    "dd10's brute-force oracle). Decimal-exact sums, so the fold is "
+    "bit-stable",
+)
+def q_d7_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.upsert import merge_partial_aggregates
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-04").cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    old = agg(ev.filter(F.col("ts") <= cutoff))
+    delta = agg(ev.filter(F.col("ts") > cutoff))
+    merged = merge_partial_aggregates(
+        old, delta, ["user_id"],
+        {"n_events": "sum", "sum_value": "sum", "last_ts": "max"},
+    )
+    return merged.select(
+        "user_id", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"), "last_ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #

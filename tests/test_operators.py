@@ -652,3 +652,27 @@ def test_check_quality_rules_and_failure_counts(spark):
 
     with _pytest.raises(ValueError, match="unknown quality rule"):
         check_quality(df, [{"rule": "nope"}])
+
+
+def test_merge_partial_aggregates_matrix(spark):
+    """Keys only in old, only in delta, and in both; sum/max/min
+    combiners; result equals a from-scratch aggregate."""
+    from movie_etl_spark.operators.upsert import merge_partial_aggregates
+
+    old = spark.createDataFrame(
+        [(1, 2, 10, 5), (2, 1, 7, 7)], "k long, n long, s long, mx long"
+    )
+    delta = spark.createDataFrame(
+        [(2, 3, 5, 9), (3, 1, 1, 1)], "k long, n long, s long, mx long"
+    )
+    out = {
+        r.k: (r.n, r.s, r.mx)
+        for r in merge_partial_aggregates(
+            old, delta, ["k"], {"n": "sum", "s": "sum", "mx": "max"}
+        ).collect()
+    }
+    assert out == {1: (2, 10, 5), 2: (4, 12, 9), 3: (1, 1, 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown combiner"):
+        merge_partial_aggregates(old, delta, ["k"], {"n": "avg"})
