@@ -1,0 +1,77 @@
+"""Exact distributed statistics (engine extension).
+
+Spearman rank correlation, computed EXACTLY at scale. The naive
+formulation is blocked twice at 100 TB: ranking via
+``Window.orderBy`` with no partition funnels the corpus through one
+task, and float rank sums accumulate in nondeterministic order. Both
+have standard fixes used elsewhere in this repo:
+
+- ranks come from per-distinct-value counts + the two-phase parallel
+  prefix sum (``operators.corpus._two_phase_prefix`` — range
+  partition, local prefix, O(partitions) offset fold), joined back to
+  rows; no unpartitioned window anywhere;
+- tied values get the classic AVERAGE rank, kept integral by scaling
+  ranks x2 (``r2 = 2*min_rank + (count-1)``) — Spearman is invariant
+  under affine rank maps, and integer ranks make every sum EXACT;
+- moment sums accumulate as DECIMAL(38,0) (order-independent integer
+  arithmetic, overflow-safe beyond sf100), and only the final
+  correlation division drops to double — identical in any engine —
+  rounded for hash stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _rank2_map(df: DataFrame, col: str) -> DataFrame:
+    """value -> doubled average rank (``_r2``, integral), scalably."""
+    from movie_etl_spark.operators.corpus import _two_phase_prefix
+
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("_cnt"))
+    pref, _, _ = _two_phase_prefix(counts, [col], "_cnt")
+    # min_rank = cum - cnt + 1; avg_rank*2 = 2*cum - cnt + 1
+    return pref.select(
+        col,
+        (2 * F.col("_cum") - F.col("_cnt") + 1).cast("long").alias("_r2"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame, col_x: str, col_y: str, decimals: int = 6
+) -> DataFrame:
+    """One row ``(n, spearman)``: exact tie-corrected Spearman rank
+    correlation of two numeric columns; see module doc."""
+    rx = _rank2_map(df, col_x).withColumnRenamed("_r2", "_rx")
+    ry = _rank2_map(df, col_y).withColumnRenamed("_r2", "_ry")
+    ranked = (
+        df.select(col_x, col_y)
+        .join(rx, col_x)
+        .join(ry, col_y)
+        .select(
+            F.col("_rx").cast("decimal(38,0)").alias("x"),
+            F.col("_ry").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / F.sqrt(denx * deny), decimals).alias("spearman"),
+    )

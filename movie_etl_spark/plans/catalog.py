@@ -4713,6 +4713,128 @@ def q_d7_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a8_spearman_corr",
+    """
+    WITH cx AS (SELECT l_quantity AS v, count(*) AS cnt
+                FROM lineitem GROUP BY 1),
+    rx AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - cnt + 1 AS r2 FROM cx),
+    cy AS (SELECT l_extendedprice AS v, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+    ry AS (SELECT v, 2 * sum(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - cnt + 1 AS r2 FROM cy),
+    j AS (
+      SELECT CAST(rx.r2 AS HUGEINT) AS x, CAST(ry.r2 AS HUGEINT) AS y
+      FROM lineitem l
+      JOIN rx ON rx.v = l.l_quantity
+      JOIN ry ON ry.v = l.l_extendedprice
+    ),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman
+    FROM s
+    """,
+    doc="EXACT tie-corrected Spearman rank correlation at scale "
+    "(operators.stats.spearman_corr): quantity vs extended price over "
+    "lineitem. Ranks come from per-distinct-value counts + the "
+    "two-phase parallel prefix (corpus._two_phase_prefix) — NO "
+    "unpartitioned window, the thing that kills naive ranking at "
+    "100 TB; ties take the classic average rank kept INTEGRAL by the "
+    "x2 scaling (Spearman is affine-invariant); moment sums accumulate "
+    "as DECIMAL(38,0)/HUGEINT exact integers (order-independent, "
+    "overflow-safe past sf100) and only the final division drops to "
+    "double, rounded 6dp. The float alternative could never "
+    "hash-match across engines",
+)
+def q_a8_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.stats import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+@register(
+    "ts1_gap_fill_locf",
+    """
+    WITH grid AS (
+      SELECT u.user_id, g.d
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-30',
+                                      INTERVAL 1 DAY)) AS d
+      ) g
+    ),
+    agg AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT grid.user_id, grid.d AS day,
+           coalesce(agg.n, 0) AS n_events,
+           last_value(agg.s IGNORE NULLS) OVER (
+             PARTITION BY grid.user_id ORDER BY grid.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sum_value_locf
+    FROM grid LEFT JOIN agg
+      ON agg.user_id = grid.user_id AND agg.d = grid.d
+    """,
+    doc="time-series regularization: per-user DAILY buckets over a "
+    "fixed calendar grid (sequence + explode — generated, not scanned), "
+    "missing days filled with 0 counts and LOCF (last observation "
+    "carried forward, the standard gap-fill for downstream models) via "
+    "last(ignorenulls) over a per-user window; leading gaps stay NULL "
+    "honestly. The grid join is a broadcast of the generated calendar; "
+    "the window partitions by user — nothing unpartitioned. "
+    "Decimal-exact day sums surfaced as DOUBLE",
+)
+def q_ts1_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    days = F.explode(
+        F.sequence(
+            F.lit("2024-01-01").cast("timestamp"),
+            F.lit("2024-01-30").cast("timestamp"),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    ).alias("day")
+    grid = users.select("user_id", days)
+    agg = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.last("s", ignorenulls=True).over(w).alias("sum_value_locf"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #

@@ -676,3 +676,55 @@ def test_merge_partial_aggregates_matrix(spark):
 
     with _pytest.raises(ValueError, match="unknown combiner"):
         merge_partial_aggregates(old, delta, ["k"], {"n": "avg"})
+
+
+def test_spearman_corr_monotone_reverse_and_ties(spark):
+    from movie_etl_spark.operators.stats import spearman_corr
+
+    # strictly monotone -> exactly 1; reversed -> exactly -1
+    up = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 21)], "a long, b long"
+    )
+    assert spearman_corr(up, "a", "b").collect()[0].spearman == 1.0
+    down = spark.createDataFrame(
+        [(i, -i) for i in range(1, 21)], "a long, b long"
+    )
+    assert spearman_corr(down, "a", "b").collect()[0].spearman == -1.0
+    # hand-checked tie case: x=(1,2,2,3), y=(10,20,20,40)
+    # avg ranks x: 1, 2.5, 2.5, 4; y: 1, 2.5, 2.5, 4 -> identical
+    # rankings -> exactly 1 even with ties
+    ties = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (3, 40)], "a long, b long"
+    )
+    r = spearman_corr(ties, "a", "b").collect()[0]
+    assert r.n == 4 and r.spearman == 1.0
+    # permuted with ties: x=(1,2,2,3) vs y=(40,20,20,10) -> exactly -1
+    ties2 = spark.createDataFrame(
+        [(1, 40), (2, 20), (2, 20), (3, 10)], "a long, b long"
+    )
+    assert spearman_corr(ties2, "a", "b").collect()[0].spearman == -1.0
+
+
+def test_gap_fill_locf_fills_and_carries(spark):
+    from movie_etl_spark.plans.catalog import QUERIES
+    from datetime import datetime as dt
+    import tempfile
+
+    rows = [
+        (1, dt(2024, 1, 2, 5), 10.0),   # day 2
+        (1, dt(2024, 1, 5, 6), 20.0),   # day 5
+        (2, dt(2024, 1, 1, 1), 7.0),    # day 1
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = QUERIES["ts1_gap_fill_locf"].fn(spark, d).collect()
+    u1 = {r.day.day: (r.n_events, r.sum_value_locf)
+          for r in out if r.user_id == 1}
+    assert u1[1] == (0, None)          # leading gap stays NULL
+    assert u1[2] == (1, 10.0)
+    assert u1[3] == (0, 10.0)          # carried forward
+    assert u1[4] == (0, 10.0)
+    assert u1[5] == (1, 20.0)
+    assert u1[6] == (0, 20.0)
+    assert len(u1) == 30               # full calendar grid
