@@ -153,65 +153,26 @@ def _decode_bmp24(payload: bytes) -> np.ndarray:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG via stdlib ``zlib``: signature + chunk
-    walk (CRC-verified), IHDR validation, concatenated-IDAT inflate,
-    then per-scanline unfilter (types 0-4: None/Sub/Up/Average/Paeth,
-    RFC 2083 §6). Gray / gray+alpha / RGB / RGBA; palette, 16-bit, and
-    Adam7 interlace raise NotImplementedError."""
-    import zlib
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    ihdr = None
-    idat = bytearray()
-    pos = 8
-    seen_iend = False
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) < length or pos + 12 + length > len(payload):
-            raise ValueError(f"truncated {ctype!r} chunk")
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"PLTE":
-            raise NotImplementedError("palette PNG not supported")
-        elif ctype == b"IEND":
-            seen_iend = True
-            break
-        pos += 12 + length
-    if ihdr is None or not seen_iend:
-        raise ValueError("missing IHDR or IEND chunk")
-    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
-    if width <= 0 or height <= 0:
-        raise ValueError(f"invalid PNG dimensions {width}x{height}")
-    if comp != 0 or filt != 0:
-        raise ValueError("unknown PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"only 8-bit gray/GA/RGB/RGBA PNG supported "
-            f"(bit_depth={bit_depth}, color_type={color_type})"
-        )
-    channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
+
+def _png_unfilter(raw: bytes, pos: int, height: int, stride: int, bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting at
+    ``raw[pos]`` (each prefixed by its filter-type byte, RFC 2083 §6);
+    returns the [height, stride] byte grid and the next offset."""
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels  # bytes per pixel at bit depth 8
-    pos = 0
     for y in range(height):
+        if pos >= len(raw):
+            raise ValueError("PNG pixel data length mismatch")
         ftype = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        if len(line) < stride:
+            raise ValueError("PNG pixel data length mismatch")
         pos += 1 + stride
         if ftype == 0:
             pass
@@ -237,7 +198,123 @@ def _decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = prev = np.frombuffer(bytes(line), dtype=np.uint8)
-    return out.reshape(height, width, channels)
+    return out, pos
+
+
+def _unpack_bits(rows: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """[h, stride] packed sub-byte samples -> [h, width] ints
+    (MSB-first within each byte, per the PNG spec)."""
+    per_byte = 8 // depth
+    h = rows.shape[0]
+    out = np.zeros((h, rows.shape[1] * per_byte), dtype=np.uint8)
+    for k in range(per_byte):
+        shift = 8 - depth * (k + 1)
+        out[:, k::per_byte] = (rows >> shift) & ((1 << depth) - 1)
+    return out[:, :width]
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG via stdlib ``zlib``: signature + CRC-verified chunk walk,
+    IHDR validation, concatenated-IDAT inflate, per-scanline unfilter
+    (types 0-4: None/Sub/Up/Average/Paeth). Supports 8-bit gray /
+    gray+alpha / RGB / RGBA, PALETTE images at bit depth 1/2/4/8
+    (PLTE lookup -> RGB), and Adam7 INTERLACED 8-bit images (7-pass
+    deinterlace, per-pass filter state). 16-bit depth and
+    palette-with-tRNS remain NotImplementedError — stated limits."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    trns = False
+    pos = 8
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or length == 0:
+                raise ValueError("malformed PLTE chunk")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = True
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_iend:
+        raise ValueError("missing IHDR or IEND chunk")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    raw = zlib.decompress(bytes(idat))
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without a PLTE chunk")
+        if trns:
+            raise NotImplementedError("palette PNG with tRNS alpha")
+        if bit_depth not in (1, 2, 4, 8):
+            raise NotImplementedError(
+                f"palette PNG bit depth {bit_depth} not supported"
+            )
+        if interlace != 0:
+            raise NotImplementedError(
+                "interlaced palette PNG not supported"
+            )
+        stride = (width * bit_depth + 7) // 8
+        rows, end = _png_unfilter(raw, 0, height, stride, 1)
+        if end != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        idx = (
+            rows[:, :width]
+            if bit_depth == 8
+            else _unpack_bits(rows, width, bit_depth)
+        )
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index outside PLTE")
+        return plte[idx.astype(np.int64)]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/GA/RGB/RGBA (+ palette 1/2/4/8) PNG "
+            f"supported (bit_depth={bit_depth}, color_type={color_type})"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    if interlace == 0:
+        stride = width * channels
+        out, end = _png_unfilter(raw, 0, height, stride, channels)
+        if end != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        return out.reshape(height, width, channels)
+    if interlace != 1:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    # Adam7: seven independently filtered sub-images, concatenated in
+    # one zlib stream; scatter each pass back onto its grid
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, pos = _png_unfilter(raw, pos, ph, pw * channels, channels)
+        out[y0::dy, x0::dx, :] = rows.reshape(ph, pw, channels)
+    if pos != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    return out
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
@@ -960,3 +1037,104 @@ def jpeg_fidelity_check(
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, JPEG_FIDELITY_SCHEMA)
+
+
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, bit_depth: int = 8
+) -> bytes:
+    """Deterministic PALETTE PNG encoder (round-trip tests): [H,W]
+    index array + [n,3] palette, bit depth 1/2/4/8 (MSB-first bit
+    packing), filter type 0 scanlines."""
+    import zlib
+
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"invalid palette bit depth {bit_depth}")
+    height, width = indices.shape
+    if indices.max(initial=0) >= min(palette.shape[0], 1 << bit_depth):
+        raise ValueError("index outside palette/depth range")
+    per_byte = 8 // bit_depth
+    stride = (width * bit_depth + 7) // 8
+    body = bytearray()
+    for y in range(height):
+        body.append(0)  # filter None
+        packed = bytearray(stride)
+        for x in range(width):
+            shift = 8 - bit_depth * (x % per_byte + 1)
+            packed[x // per_byte] |= int(indices[y, x]) << shift
+        body += packed
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_interlaced(arr: np.ndarray) -> bytes:
+    """Deterministic Adam7 INTERLACED PNG encoder (round-trip tests):
+    8-bit gray/GA/RGB/RGBA, each pass extracted on the standard grid
+    and written with filter type 0 scanlines."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    body = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            body.append(0)
+            body += sub[y].astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def palette_png_encoder_udf(height: int, width: int):
+    """Arrow-vectorized ``pandas_udf`` factory: md5-digest bytes -> a
+    4-bit PALETTE PNG whose indices are each byte's HIGH NIBBLE over
+    the 16-gray ramp palette (``palette[i] == (17*i,)*3``), so decoded
+    RGB stats re-derive exactly from the input bytes (the mm-oracle
+    contract), while the decoder exercises sub-byte unpacking + PLTE
+    lookup."""
+    ramp = np.repeat(np.arange(16, dtype=np.uint8) * 17, 3).reshape(16, 3)
+
+    @F.pandas_udf("binary")
+    def to_ppng(px: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                encode_png_palette(
+                    (
+                        np.frombuffer(bytes(b), dtype=np.uint8) >> 4
+                    ).astype(np.int64).reshape(height, width),
+                    ramp,
+                    bit_depth=4,
+                )
+                for b in px
+            ]
+        )
+
+    return to_ppng

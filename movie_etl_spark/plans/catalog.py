@@ -4835,6 +4835,51 @@ def q_ts1_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm9_palette_png",
+    """
+    WITH h AS (
+      SELECT doc_id AS asset_id, md5(text) AS hx FROM documents
+    ), b AS (
+      SELECT asset_id,
+             list_transform(range(0, 16),
+               i -> 17 * (strpos('0123456789abcdef',
+                                 substring(hx, 2*i+1, 1)) - 1)
+             ) AS px
+      FROM h
+    )
+    SELECT asset_id, 4 AS height, 4 AS width, 3 AS channels,
+           CAST(3 * list_sum(px) AS BIGINT) AS pixel_sum,
+           CAST(list_min(px) AS INT) AS pixel_min,
+           CAST(list_max(px) AS INT) AS pixel_max
+    FROM b
+    """,
+    doc="REAL palette-PNG decode (closes another r6-era codec-variant "
+    "gap alongside Adam7 interlace — both now real paths in "
+    "multimodal._decode_png): each document's md5 high nibbles become "
+    "4-bit palette indices over a 16-gray ramp (PLTE), packed "
+    "MSB-first two-per-byte, zlib-compressed, and decoded back through "
+    "sub-byte unpacking + palette lookup. The oracle re-derives exact "
+    "pixels from the md5 hex digits (pixel = 17 * high-nibble), so a "
+    "single bit-unpack or PLTE-order error breaks the hash. Remaining "
+    "honest PNG limits: 16-bit depth, palette tRNS alpha, interlaced "
+    "palette",
+)
+def q_mm9_palette_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from movie_etl_spark.operators.multimodal import (
+        decode_images,
+        palette_png_encoder_udf,
+    )
+
+    to_ppng = palette_png_encoder_udf(4, 4)
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        to_ppng(F.expr("unhex(md5(text))")).alias("payload"),
+    )
+    return decode_images(assets)
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #

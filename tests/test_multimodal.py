@@ -162,9 +162,11 @@ def test_decode_image_png_rejects_unsupported_and_corrupt():
 
     with pytest.raises(NotImplementedError, match="16"):
         decode_image(png_with_ihdr(16, 2))
-    with pytest.raises(NotImplementedError, match="color_type=3"):
+    # palette and Adam7 are REAL paths now (see the dedicated tests);
+    # their malformed variants fail with ValueError
+    with pytest.raises(ValueError, match="without a PLTE"):
         decode_image(png_with_ihdr(8, 3))
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_image(png_with_ihdr(8, 2, interlace=1))
 
 
@@ -681,3 +683,53 @@ def test_decode_images_null_payload_fails_with_documented_error(spark):
     )
     with pytest.raises(Exception, match="empty or truncated payload"):
         decode_images(df).collect()
+
+
+def test_png_palette_all_depths_exact():
+    """Indexed PNG at bit depth 1/2/4/8: MSB-first unpacking + PLTE
+    lookup must reproduce exact RGB pixels."""
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(7)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, (5, 7)).astype(np.int64)
+        out = decode_image(encode_png_palette(idx, pal, depth))
+        assert out.shape == (5, 7, 3)
+        assert (out == pal[idx]).all(), depth
+    # tRNS on a palette image is the remaining honest limit
+    import pytest as _pytest
+    import struct
+    import zlib
+
+    payload = bytearray(encode_png_palette(idx, pal, 8))
+    trns = struct.pack(">I", 1) + b"tRNS" + b"\x80"
+    trns += struct.pack(">I", zlib.crc32(b"tRNS\x80") & 0xFFFFFFFF)
+    iend_at = payload.index(b"IEND") - 4
+    payload[iend_at:iend_at] = trns
+    with _pytest.raises(NotImplementedError, match="tRNS"):
+        decode_image(bytes(payload))
+
+
+def test_png_adam7_interlace_exact():
+    """Adam7: 7 independently filtered passes scattered back onto the
+    grid — exact pixels for sizes above and below one pass tile."""
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_png_interlaced,
+    )
+
+    rng = np.random.default_rng(8)
+    for shape in ((1, 1, 1), (3, 5, 3), (8, 8, 4), (17, 13, 2), (20, 24, 3)):
+        arr = rng.integers(0, 256, shape).astype(np.uint8)
+        out = decode_image(encode_png_interlaced(arr))
+        assert out.shape == shape
+        assert (out == arr).all(), shape
