@@ -4309,8 +4309,10 @@ def q_mm7_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "case: mean<=12 vs 5.8 observed, max<=48 vs 19). A Huffman "
     "desync, quant-table mixup, or DCT sign error overshoots by an "
     "order of magnitude, so the check still bites. "
-    "Progressive/arithmetic/subsampled variants raise "
-    "NotImplementedError — stated limitations, not stubs",
+    "Progressive (SOF2 spectral selection + DC successive "
+    "approximation) and 4:2:0/4:2:2 subsampling are ALSO real decode "
+    "paths (r7b); the honest remainder is AC refinement scans, "
+    "arithmetic coding, and 12-bit",
 )
 def q_mm8_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_etl_spark.operators.multimodal import (

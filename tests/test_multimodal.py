@@ -591,10 +591,18 @@ def test_jpeg_rejects_unsupported_variants_and_garbage():
     from movie_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF9 (arithmetic coding, a genuine remaining gap;
+    # SOF2/progressive is a REAL path now — see the dedicated tests)
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(payload))
+    # a baseline stream merely relabeled SOF2 is MALFORMED progressive
+    # (its single scan claims the full 0-63 band): ValueError, not a gap
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     i = payload.index(b"\xff\xc0")
     payload[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bytes(payload))
     # sampling factors beyond 2x2: patch the component H/V byte in SOF0
     # (2x2 itself is now a REAL decode path — see the 420 test)
@@ -733,3 +741,60 @@ def test_png_adam7_interlace_exact():
         out = decode_image(encode_png_interlaced(arr))
         assert out.shape == shape
         assert (out == arr).all(), shape
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """Progressive (SOF2) and baseline encoders quantize identically,
+    so their decodes must be BIT-identical — any desync in the
+    multi-scan coefficient accumulation, EOBn runs, or DC bit-plane
+    logic breaks exact equality."""
+    import numpy as np
+
+    from movie_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in ((4, 4), (5, 13), (12, 20, 3), (17, 9, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+        assert (prog == base).all(), shape
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    # DC successive approximation (two DC scans: Al=1 then refinement)
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, dc_split=True)
+    )
+    assert (prog == base).all()
+    # fine-grained spectral selection
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, quality=85, ac_bands=((1, 2), (3, 8), (9, 20), (21, 63))
+        )
+    )
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_remaining_gaps_still_honest():
+    import numpy as np
+    import pytest as _pytest
+
+    from movie_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    payload = bytearray(encode_jpeg_progressive(img))
+    # patch the FIRST AC scan's Ah nibble to claim a refinement scan:
+    # SOS bodies end with [Ss, Se, AhAl]; find the second SOS (first is
+    # the DC scan)
+    first = payload.index(b"\xff\xda")
+    second = payload.index(b"\xff\xda", first + 2)
+    (seg_len,) = __import__("struct").unpack_from(">H", payload, second + 2)
+    payload[second + 2 + seg_len - 1] = 0x10  # Ah=1, Al=0
+    with _pytest.raises(NotImplementedError, match="refinement"):
+        decode_jpeg(bytes(payload))
