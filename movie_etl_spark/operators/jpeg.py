@@ -10,15 +10,17 @@ library, only care. Scope is honest and explicit:
   8-bit, Huffman entropy coding. Baseline: 1 or 3 components with
   sampling factors up to 2x2 — grayscale, 4:4:4, and the dominant
   real-world 4:2:0/4:2:2 layouts (nearest-neighbor chroma upsample) —
-  restart markers honored. Progressive: spectral selection (arbitrary
-  Ss/Se bands, per-scan coefficient accumulation, EOBn run decoding)
-  plus DC successive approximation (Ah/Al bit-plane refinement);
-  1x1-sampled. Quant + Huffman tables are read from the file's own
-  DQT/DHT segments (never assumed), so output depends only on the
-  payload. The remaining honest gaps: AC successive-approximation
-  REFINEMENT scans (a different correction-bit protocol), arithmetic
-  coding (SOF9+), 12-bit, hierarchical, sampling factors > 2 — all
-  raise ``NotImplementedError``, stated, not stubbed.
+  restart markers honored. Progressive: FULL support — spectral
+  selection (arbitrary Ss/Se bands, per-scan coefficient accumulation,
+  EOBn run decoding) AND successive approximation for both DC (bit-
+  plane refinement) and AC (the T.81 G.1.2.3 correction-bit protocol:
+  newly-significant runs, crossed-coefficient corrections, EOB runs
+  whose covered blocks still carry correction bits); 1x1-sampled.
+  Quant + Huffman tables are read from the file's own DQT/DHT segments
+  (never assumed, reparsed between scans), so output depends only on
+  the payload. The remaining honest gaps: arithmetic coding (SOF9+),
+  12-bit, hierarchical, subsampled progressive, sampling factors > 2 —
+  all raise ``NotImplementedError``, stated, not stubbed.
 - ENCODE (asset synthesis + round-trip tests): grayscale, 4:4:4 RGB,
   or 4:2:0 RGB (2x2 box-averaged chroma) baseline via
   :func:`encode_jpeg`; progressive via
@@ -664,10 +666,10 @@ def _decode_scan(
 
 
 # ---------------------------------------------------------------------------
-# progressive mode (SOF2, spectral selection + DC successive
-# approximation — T.81 G.1/G.2). AC successive-approximation REFINEMENT
-# (Ah > 0 on an AC band) is the one remaining honest gap: its
-# correction-bit protocol is a different algorithm, stated, not stubbed.
+# progressive mode (SOF2) — T.81 G.1/G.2: spectral selection plus
+# successive approximation for DC and AC, including the G.1.2.3
+# refinement protocol (correction bits for already-significant
+# coefficients, interleaved with zero-history runs and EOB runs).
 # ---------------------------------------------------------------------------
 
 
@@ -708,40 +710,92 @@ def _decode_progressive_scan(
         else:  # AC scan: exactly one component, raster block order
             if len(scan) != 1:
                 raise ValueError("JPEG: interleaved progressive AC scan")
-            if ah != 0:
-                raise NotImplementedError(
-                    "progressive AC successive-approximation refinement "
-                    "not supported"
-                )
             ci = cid_index[scan[0][0]]
             ta = scan[0][2]
             eobrun = 0
+            p1, m1 = 1 << al, -(1 << al)
+
+            def refine_nonzero(blk: np.ndarray, k: int) -> None:
+                """Correction bit for an already-significant coef
+                (T.81 G.1.2.3 / libjpeg AC_refine)."""
+                if reader.bit():
+                    v = int(blk[k])
+                    if (abs(v) >> al) & 1 == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+
             for by in range(blocks_y):
                 for bx in range(blocks_x):
+                    blk = coef[ci][by, bx]
                     if eobrun > 0:
+                        if ah != 0:  # run blocks still carry corrections
+                            for k in range(ss, se + 1):
+                                if blk[k] != 0:
+                                    refine_nonzero(blk, k)
                         eobrun -= 1
                         continue
-                    k = ss
-                    while k <= se:
-                        rs = _huff_decode(reader, huff_ac[ta])
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            # EOBn: this block done, plus 2^r - 1 +
-                            # extension more blocks with nothing coded
-                            eobrun = (1 << r) - 1 + (
-                                reader.bits(r) if r else 0
-                            )
-                            break
-                        k += r
-                        if k > se:
-                            raise ValueError("JPEG: AC run past band end")
-                        coef[ci][by, bx, k] = (
-                            _extend(reader.bits(s), s) << al
-                        )
-                        k += 1
+                    if ah == 0:  # first scan for these bits
+                        k = ss
+                        while k <= se:
+                            rs = _huff_decode(reader, huff_ac[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1 + (
+                                    reader.bits(r) if r else 0
+                                )
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG: AC run past band end"
+                                )
+                            blk[k] = _extend(reader.bits(s), s) << al
+                            k += 1
+                    else:  # successive-approximation refinement scan
+                        k = ss
+                        while k <= se:
+                            rs = _huff_decode(reader, huff_ac[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0 and r != 15:
+                                # EOBn: refine the remainder, start run
+                                eobrun = (1 << r) + (
+                                    reader.bits(r) if r else 0
+                                )
+                                for kk in range(k, se + 1):
+                                    if blk[kk] != 0:
+                                        refine_nonzero(blk, kk)
+                                eobrun -= 1  # this block counts
+                                break
+                            if s == 0:  # ZRL: cross 16 zero-history
+                                # (15 decrements + the break position)
+                                run = 15
+                                newval = 0
+                            elif s == 1:
+                                run = r
+                                newval = p1 if reader.bit() else m1
+                            else:
+                                raise ValueError(
+                                    "JPEG: refinement size > 1"
+                                )
+                            # walk: count down zero-history positions,
+                            # refining significant ones crossed
+                            while k <= se:
+                                if blk[k] != 0:
+                                    refine_nonzero(blk, k)
+                                else:
+                                    if run == 0:
+                                        break
+                                    run -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG: refinement run past band"
+                                    )
+                                blk[k] = newval
+                            k += 1
     except _MarkerHit as mh:
         raise ValueError(
             f"JPEG: marker 0x{mh.marker:02x} inside progressive scan"
@@ -789,11 +843,16 @@ def encode_jpeg_progressive(
     quality: int = 75,
     ac_bands: tuple = ((1, 5), (6, 63)),
     dc_split: bool = False,
+    ac_sa_level: int = 0,
 ) -> bytes:
     """Progressive (SOF2) encoder for round-trip tests: grayscale or
     4:4:4 RGB, spectral selection with the given AC bands per
     component; ``dc_split=True`` additionally exercises DC successive
-    approximation (first DC scan at Al=1, then the refinement bit).
+    approximation (first DC scan at Al=1, then the refinement bit);
+    ``ac_sa_level=N`` emits each AC band with successive approximation
+    too — first scan at Al=N (sign-magnitude point transform), then
+    one refinement scan per bit plane down to 0, complete with
+    cross-block EOB-run correction-bit buffering (T.81 G.1.2.3).
     Same tables/quality scaling as :func:`encode_jpeg`."""
     if img.ndim == 2:
         img = img[:, :, None]
@@ -895,21 +954,24 @@ def encode_jpeg_progressive(
                     w.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
         return w.flush()
 
-    def emit_ac_scan(ci: int, ss: int, se: int) -> bytes:
+    def emit_ac_scan(ci: int, ss: int, se: int, al: int = 0) -> bytes:
         t = 0 if ci == 0 else 1
         w = _BitWriter()
         for by in range(blocks_y):
             for bx in range(blocks_x):
                 zz = coefs[ci][by, bx]
-                # last nonzero within the band
+                # sign-magnitude point transform (T.81 G.1.2.2)
+                band = [
+                    (1 if zz[k] >= 0 else -1) * (abs(int(zz[k])) >> al)
+                    for k in range(ss, se + 1)
+                ]
                 last = 0
-                for k in range(ss, se + 1):
-                    if zz[k]:
-                        last = k
+                for i, v in enumerate(band):
+                    if v:
+                        last = i
                 run = 0
                 coded_any = False
-                for k in range(ss, se + 1):
-                    v = int(zz[k])
+                for i, v in enumerate(band):
                     if v == 0:
                         run += 1
                         continue
@@ -924,11 +986,111 @@ def encode_jpeg_progressive(
                     w.write(amp, size)
                     run = 0
                     coded_any = True
-                    if k == last:
+                    if i == last:
                         break
-                if not coded_any or last < se:
+                if not coded_any or last < len(band) - 1:
                     code, length = ac_codes[t][0x00]  # EOB (run of 1)
                     w.write(code, length)
+        return w.flush()
+
+    # the Annex-K sequential AC tables lack the EOBn symbols
+    # (0x10..0xE0) refinement scans need — real progressive files ship
+    # their own tables, and so do we: one flat 6-bit table holding
+    # every symbol a refinement scan can emit, written as a DHT right
+    # before the refinement scans (redefining a table id mid-stream is
+    # standard JPEG; the decoder reparses DHT as it walks)
+    refine_vals = (
+        [r << 4 for r in range(15)]            # EOB0..EOB14
+        + [0xF0]                               # ZRL
+        + [(r << 4) | 1 for r in range(16)]    # (run, 1)
+    )
+    refine_bits = [0, 0, 0, 0, 0, len(refine_vals)] + [0] * 10
+    refine_codes = _canonical_codes(refine_bits, refine_vals)
+
+    def emit_ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        """Refinement scan (Ah = al + 1, Al = al): newly-significant
+        coefficients as (zero-history-run, 1) codes with sign bits,
+        correction bits for already-significant ones crossed, and
+        cross-block EOB runs whose covered blocks still carry their
+        correction bits (T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine)."""
+        w = _BitWriter()
+        pending_eob = 0
+        pending_bits: list[int] = []
+
+        def flush_eob() -> None:
+            nonlocal pending_eob, pending_bits
+            if pending_eob == 0:
+                return
+            r = pending_eob.bit_length() - 1
+            code, length = refine_codes[r << 4]
+            w.write(code, length)
+            if r:
+                w.write(pending_eob - (1 << r), r)
+            for bit in pending_bits:
+                w.write(bit, 1)
+            pending_eob = 0
+            pending_bits = []
+
+        for by in range(blocks_y):
+            for bx in range(blocks_x):
+                zz = coefs[ci][by, bx]
+                n = se - ss + 1
+                hist = [abs(int(zz[ss + i])) >> (al + 1) for i in range(n)]
+                cur = [(abs(int(zz[ss + i])) >> al) & 1 for i in range(n)]
+                sign = [1 if zz[ss + i] >= 0 else -1 for i in range(n)]
+                newly = [i for i in range(n) if hist[i] == 0 and cur[i]]
+                if not newly:
+                    # the whole block joins the EOB run; its correction
+                    # bits ride along in positional order
+                    if pending_eob == (1 << 14):
+                        flush_eob()
+                    pending_eob += 1
+                    pending_bits.extend(
+                        cur[i] for i in range(n) if hist[i]
+                    )
+                    continue
+                flush_eob()
+                i = 0
+                for tgt in newly:
+                    # positions i..tgt-1: split into ZRL chunks, each
+                    # covering exactly 16 zero-history positions; the
+                    # decoder's walk for a code consumes PRECISELY the
+                    # correction bits of significant positions it
+                    # crosses, so each chunk's bits must follow ITS
+                    # code — a global reorder would desync the stream
+                    seg = list(range(i, tgt))
+                    while sum(1 for j in seg if not hist[j]) > 15:
+                        zeros = 0
+                        cut = 0
+                        for idx, j in enumerate(seg):
+                            if not hist[j]:
+                                zeros += 1
+                                if zeros == 16:
+                                    cut = idx + 1
+                                    break
+                        code, length = refine_codes[0xF0]
+                        w.write(code, length)
+                        for j in seg[:cut]:
+                            if hist[j]:
+                                w.write(cur[j], 1)
+                        seg = seg[cut:]
+                    run = sum(1 for j in seg if not hist[j])
+                    code, length = refine_codes[(run << 4) | 1]
+                    w.write(code, length)
+                    w.write(1 if sign[tgt] > 0 else 0, 1)
+                    for j in seg:
+                        if hist[j]:
+                            w.write(cur[j], 1)
+                    i = tgt + 1
+                # remainder after the last newly-significant coef: EOB
+                # (immediately flushed: run of exactly 1) + corrections
+                if i < n:
+                    code, length = refine_codes[0x00]
+                    w.write(code, length)
+                    for j in range(i, n):
+                        if hist[j]:
+                            w.write(cur[j], 1)
+        flush_eob()
         return w.flush()
 
     if dc_split:
@@ -938,6 +1100,18 @@ def encode_jpeg_progressive(
         out += sos_header(list(range(ncomp)), 0, 0, 0, 0) + emit_dc_scan(0)
     for ci in range(ncomp):
         for ss, se in ac_bands:
-            out += sos_header([ci], ss, se, 0, 0) + emit_ac_scan(ci, ss, se)
+            out += sos_header([ci], ss, se, 0, ac_sa_level) + emit_ac_scan(
+                ci, ss, se, ac_sa_level
+            )
+    if ac_sa_level > 0:
+        out += dht(1, 0, refine_bits, refine_vals)
+        if ncomp == 3:
+            out += dht(1, 1, refine_bits, refine_vals)
+    for al in range(ac_sa_level - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in ac_bands:
+                out += sos_header([ci], ss, se, al + 1, al) + emit_ac_refine(
+                    ci, ss, se, al
+                )
     out += b"\xff\xd9"
     return bytes(out)

@@ -4310,9 +4310,10 @@ def q_mm7_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "desync, quant-table mixup, or DCT sign error overshoots by an "
     "order of magnitude, so the check still bites. "
     "Progressive (SOF2 spectral selection + DC successive "
-    "approximation) and 4:2:0/4:2:2 subsampling are ALSO real decode "
-    "paths (r7b); the honest remainder is AC refinement scans, "
-    "arithmetic coding, and 12-bit",
+    "approximation, AND full AC successive-approximation refinement — "
+    "the complete progressive feature set) and 4:2:0/4:2:2 subsampling "
+    "are ALSO real decode paths (r7b); the honest remainder is "
+    "arithmetic coding, 12-bit, and hierarchical",
 )
 def q_mm8_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_etl_spark.operators.multimodal import (

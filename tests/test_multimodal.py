@@ -778,23 +778,45 @@ def test_jpeg_progressive_decodes_bit_identical_to_baseline():
     assert (prog == base).all()
 
 
-def test_jpeg_progressive_remaining_gaps_still_honest():
+def test_jpeg_progressive_successive_approximation_full():
+    """FULL successive approximation: DC bit split + AC bit planes
+    (1, 2, and 3 levels), dense EOB runs (smooth image) and long
+    cross-block EOB runs (near-flat image) — every variant must decode
+    BIT-identically to the baseline encoding of the same image."""
     import numpy as np
-    import pytest as _pytest
 
     from movie_etl_spark.operators.jpeg import (
         decode_jpeg,
+        encode_jpeg,
         encode_jpeg_progressive,
     )
 
-    img = np.zeros((8, 8), dtype=np.uint8)
-    payload = bytearray(encode_jpeg_progressive(img))
-    # patch the FIRST AC scan's Ah nibble to claim a refinement scan:
-    # SOS bodies end with [Ss, Se, AhAl]; find the second SOS (first is
-    # the DC scan)
-    first = payload.index(b"\xff\xda")
-    second = payload.index(b"\xff\xda", first + 2)
-    (seg_len,) = __import__("struct").unpack_from(">H", payload, second + 2)
-    payload[second + 2 + seg_len - 1] = 0x10  # Ah=1, Al=0
-    with _pytest.raises(NotImplementedError, match="refinement"):
-        decode_jpeg(bytes(payload))
+    rng = np.random.default_rng(13)
+    for shape in ((4, 4), (16, 16), (5, 13), (24, 17, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85))
+        for sa in (1, 2):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    img, quality=85, ac_sa_level=sa, dc_split=True
+                )
+            )
+            assert (prog == base).all(), (shape, sa)
+    y, x = np.mgrid[0:32, 0:32]
+    smooth = ((x * 3 + y * 2) % 256).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(smooth, quality=85, ac_sa_level=2))
+        == decode_jpeg(encode_jpeg(smooth, quality=85))
+    ).all()
+    flat = np.full((64, 64), 128, dtype=np.uint8)
+    flat[0, 0] = 131  # one coefficient; everything else rides EOB runs
+    assert (
+        decode_jpeg(encode_jpeg_progressive(flat, quality=85, ac_sa_level=1))
+        == decode_jpeg(encode_jpeg(flat, quality=85))
+    ).all()
+    # deep bit planes with large low-quality coefficients
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(img, quality=30, ac_sa_level=3))
+        == decode_jpeg(encode_jpeg(img, quality=30))
+    ).all()
