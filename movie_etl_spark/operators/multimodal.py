@@ -404,6 +404,28 @@ def png_encoder_udf(height: int, width: int, channels: int):
     return to_png
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(mu-law, A-law) byte -> linear 16-bit expansion tables, the
+    classic CCITT G.711 formulas (public reference implementations)."""
+    ulaw = np.zeros(256, dtype=np.int32)
+    alaw = np.zeros(256, dtype=np.int32)
+    for b in range(256):
+        u = ~b & 0xFF
+        mant = u & 0x0F
+        t = (((mant << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        ulaw[b] = -t if u & 0x80 else t
+        a = b ^ 0x55
+        exp = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4 | 8
+        if exp:
+            t = (t + 0x100) << (exp - 1)
+        alaw[b] = t if a & 0x80 else -t
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+
+
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Real audio decode for RIFF/WAV PCM — the format a stdlib-only
     environment can genuinely parse (compressed audio needs external
@@ -438,12 +460,24 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1:
+    if audio_format not in (1, 6, 7):
         raise NotImplementedError(
             f"compressed WAV (format tag {audio_format}) requires an "
-            "external codec — only PCM (tag 1) supported"
+            "external codec — PCM (1), A-law (6), and mu-law (7) "
+            "supported"
         )
-    if bits == 16:
+    if audio_format in (6, 7):
+        # G.711 companded telephony audio: 8-bit log-coded samples
+        # expanded to linear 16-bit via the classic CCITT tables
+        # (cross-checked bit-exactly against stdlib audioop for all
+        # 256 code points — test_multimodal)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        table = _ALAW_TABLE if audio_format == 6 else _ULAW_TABLE
+        samples = table[np.frombuffer(data, dtype=np.uint8)].astype(
+            np.int32
+        )
+    elif bits == 16:
         samples = np.frombuffer(
             data[: len(data) - (len(data) % 2)], dtype="<i2"
         ).astype(np.int32)

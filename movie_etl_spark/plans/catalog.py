@@ -4883,6 +4883,70 @@ def q_mm9_palette_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(assets)
 
 
+@register(
+    "mm10_g711_audio",
+    """
+    WITH h AS (
+      SELECT doc_id AS asset_id, md5(text) AS hx FROM documents
+    ), b AS (
+      SELECT asset_id,
+             list_transform(range(0, 16),
+               i -> 255 - ((strpos('0123456789abcdef',
+                                   substring(hx, 2*i+1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef',
+                                   substring(hx, 2*i+2, 1)) - 1))
+             ) AS u
+      FROM h
+    ), s AS (
+      SELECT asset_id,
+             list_transform(u, x -> CASE WHEN (x & 128) > 0
+               THEN -(((((x & 15) * 8) + 132) * (1 << ((x >> 4) & 7))) - 132)
+               ELSE  ((((x & 15) * 8) + 132) * (1 << ((x >> 4) & 7))) - 132
+             END) AS smp
+      FROM b
+    )
+    SELECT asset_id, 8000 AS sample_rate, 1 AS n_channels,
+           CAST(16 AS BIGINT) AS n_frames,
+           CAST(2.0 AS DOUBLE) AS duration_ms,
+           CAST(list_sum(smp) AS BIGINT) AS sample_sum,
+           CAST(list_min(smp) AS INT) AS sample_min,
+           CAST(list_max(smp) AS INT) AS sample_max
+    FROM s
+    """,
+    doc="REAL G.711 mu-law decode (telephony WAV, format tag 7): each "
+    "document's 16 md5 bytes become the companded sample body of a "
+    "genuine 8 kHz mu-law WAV, expanded to linear 16-bit by the "
+    "classic CCITT table (multimodal._ULAW_TABLE — cross-checked "
+    "BIT-EXACTLY against stdlib audioop for all 256 code points). "
+    "The oracle re-derives the same expansion in pure SQL bit "
+    "arithmetic (u = 255 - byte; +-(((u&15)*8 + 132) << exp) - 132), "
+    "so one wrong code point breaks the hash. A-law (tag 6) is the "
+    "sibling path, pytest-verified; other compressed tags (MP3's tag "
+    "85 etc.) honestly raise",
+)
+def q_mm10_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    from movie_etl_spark.operators.multimodal import decode_audio_stats
+
+    data_len = 16
+    header = (
+        b"RIFF"
+        + _struct.pack("<I", 36 + data_len)
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + _struct.pack("<I", data_len)
+    )
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(F.lit(header), F.expr("unhex(md5(text))")).alias("payload"),
+    )
+    return decode_audio_stats(assets)
+
+
 # ---------------------------------------------------------------------------
 # Driver-facing registration order.
 #

@@ -820,3 +820,42 @@ def test_jpeg_progressive_successive_approximation_full():
         decode_jpeg(encode_jpeg_progressive(img, quality=30, ac_sa_level=3))
         == decode_jpeg(encode_jpeg(img, quality=30))
     ).all()
+
+
+def test_decode_audio_g711_matches_stdlib_audioop():
+    """mu-law (tag 7) and A-law (tag 6) WAV decode: the expansion
+    tables must agree BIT-EXACTLY with stdlib audioop for every code
+    point — an independent reference implementation."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import decode_audio
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    payload_bytes = bytes(range(256))
+    for tag, ref_fn in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        fmt = struct.pack("<IHHIIHH", 16, tag, 1, 8000, 8000, 1, 8)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + 256) + b"WAVE"
+            + b"fmt " + fmt
+            + b"data" + struct.pack("<I", 256) + payload_bytes
+        )
+        frames, rate = decode_audio(wav)
+        ref = np.frombuffer(ref_fn(payload_bytes, 2), dtype="<i2")
+        assert rate == 8000
+        assert (frames[:, 0] == ref).all(), tag
+    # unknown compressed tags still honestly rejected
+    import pytest as _pytest
+
+    fmt = struct.pack("<IHHIIHH", 16, 85, 1, 8000, 8000, 1, 8)  # MP3 tag
+    wav = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE" + b"fmt " + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with _pytest.raises(NotImplementedError, match="format tag 85"):
+        decode_audio(wav)
