@@ -5030,13 +5030,16 @@ DRIVER_PRIORITY: list[str] = [
     #    insert_if_absent dedup unit tests).
     #    Displaced veterans stay benched and selfchecked every round. ------
     "s1_discover",
-    # -- r7b additions (gr3, gr4, d6, t7, mm7, mm8) sit BELOW the
-    #    window on purpose: the staleness rule ("no query's latest
-    #    driver-green older than 2 rounds") outranks the new-first rule
-    #    when both can't fit — displacing six r5-aged veterans would
-    #    make them 3 rounds stale, while the r7b queries are
-    #    selfcheck-green (tools/selfcheck.py, hash-exact at sf0.01) and
-    #    pytest-backed now, and front-load the r8 window. ----------------
+    # -- r7b additions (gr3, gr4, d6, t7, mm7-mm10, w5, dd10, dq1, v7,
+    #    hll1, d7, a8, ts1 — 16 queries) sit BELOW the window on
+    #    purpose: the staleness rule ("no query's latest driver-green
+    #    older than 2 rounds") outranks the new-first rule when both
+    #    can't fit — displacing sixteen r5-aged veterans would make
+    #    them 3 rounds stale, while every r7b query is hash-green in
+    #    the committed SELFCHECK.json at BOTH sf0.01 and sf0.1 (the
+    #    local replica of the driver gate, machine-checked by
+    #    test_driver_priority_window_covers_unverified_queries) and
+    #    pytest-backed. They front-load the r8 window. -------------------
 ]
 
 
