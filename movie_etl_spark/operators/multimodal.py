@@ -228,7 +228,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
     ihdr = None
     idat = bytearray()
     plte = None
-    trns = False
+    trns = None
     pos = 8
     seen_iend = False
     while pos + 8 <= len(payload):
@@ -249,7 +249,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
                 raise ValueError("malformed PLTE chunk")
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            trns = True
+            trns = body
         elif ctype == b"IEND":
             seen_iend = True
             break
@@ -265,8 +265,6 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG without a PLTE chunk")
-        if trns:
-            raise NotImplementedError("palette PNG with tRNS alpha")
         if bit_depth not in (1, 2, 4, 8):
             raise NotImplementedError(
                 f"palette PNG bit depth {bit_depth} not supported"
@@ -286,10 +284,31 @@ def _decode_png(payload: bytes) -> np.ndarray:
         )
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index outside PLTE")
-        return plte[idx.astype(np.int64)]
+        rgb = plte[idx.astype(np.int64)]
+        if trns is not None:
+            # tRNS: per-palette-entry alpha, short tables pad opaque
+            alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.concatenate(
+                [rgb, alpha[idx.astype(np.int64)][:, :, None]], axis=2
+            )
+        return rgb
+    if bit_depth == 16 and color_type in _PNG_CHANNELS:
+        if interlace != 0:
+            raise NotImplementedError("interlaced 16-bit PNG")
+        channels = _PNG_CHANNELS[color_type]
+        stride = width * channels * 2
+        rows, end = _png_unfilter(raw, 0, height, stride, channels * 2)
+        if end != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        return (
+            np.frombuffer(rows.tobytes(), dtype=">u2")
+            .reshape(height, width, channels)
+            .astype(np.uint16)
+        )
     if bit_depth != 8 or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
-            f"only 8-bit gray/GA/RGB/RGBA (+ palette 1/2/4/8) PNG "
+            f"only 8/16-bit gray/GA/RGB/RGBA (+ palette 1/2/4/8) PNG "
             f"supported (bit_depth={bit_depth}, color_type={color_type})"
         )
     channels = _PNG_CHANNELS[color_type]
@@ -317,7 +336,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return out
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:  # noqa: C901
     """Minimal deterministic PNG encoder (asset synthesis + round-trip
     tests): 8-bit gray/GA/RGB/RGBA, non-interlaced, every scanline
     filtered with the SAME ``filter_type`` (0-4) so tests can exercise
@@ -328,13 +347,23 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         arr = arr[:, :, None]
     height, width, channels = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    arr = arr.astype(np.uint8)
-    bpp = channels
-    stride = width * channels
+    depth = 16 if arr.dtype == np.uint16 else 8
+    # filtering operates on BYTES: 16-bit samples become big-endian
+    # byte pairs and bpp doubles (RFC 2083 §6 defines filters on the
+    # byte stream regardless of depth)
+    if depth == 16:
+        arr = arr.astype(">u2")
+        bpp = channels * 2
+    else:
+        arr = arr.astype(np.uint8)
+        bpp = channels
+    stride = width * bpp
     prev = np.zeros(stride, dtype=np.int32)
     filtered = bytearray()
     for y in range(height):
-        line = arr[y].reshape(stride).astype(np.int32)
+        line = np.frombuffer(arr[y].tobytes(), dtype=np.uint8).astype(
+            np.int32
+        )
         shifted = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
         if filter_type == 0:
             enc = line
@@ -372,7 +401,9 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -811,7 +842,10 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
                         code_size += 1
             out.extend(entry)
             prev = entry
-    raise ValueError("LZW: stream ended without EOI code")
+    # data exhausted without an explicit EOI: the GIF spec asks
+    # decoders to tolerate this (plenty of real encoders omit or
+    # truncate it); the caller verifies pixel count
+    return out
 
 
 def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
@@ -862,6 +896,14 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
         w = (k,)
     if w:
         emit(table[w])
+    # the decoder performs its LAST dictionary add upon receiving the
+    # final data code, and its one-entry-behind early-widen rule then
+    # fires at next_code == (1 << cs) - 1 — with no encoder-side add
+    # after the final code, mirror that widen here or the EOI code is
+    # written one bit narrower than the decoder reads it (hypothesis
+    # found the 1-in-256 boundary where no padding bit could absorb it)
+    if next_code == (1 << code_size) - 1 and code_size < 12:
+        code_size += 1
     emit(end)
     if nbits:
         out.append(acc & 0xFF)
@@ -909,8 +951,7 @@ def _decode_gif(payload: bytes) -> np.ndarray:
         pos += 9
         if width <= 0 or height <= 0:
             raise ValueError(f"invalid GIF dimensions {width}x{height}")
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
+        interlaced = bool(ipacked & 0x40)
         if ipacked & 0x80:  # local color table wins
             n = 2 << (ipacked & 0x07)
             palette = np.frombuffer(
@@ -935,17 +976,38 @@ def _decode_gif(payload: bytes) -> np.ndarray:
         idx = np.array(indices[: width * height], dtype=np.int64)
         if idx.max() >= palette.shape[0]:
             raise ValueError("GIF index outside color table")
-        return palette[idx].reshape(height, width, 3)
+        img = palette[idx].reshape(height, width, 3)
+        if interlaced:
+            # GIF87a interlace: rows arrive in four passes (every 8th
+            # from 0, every 8th from 4, every 4th from 2, every 2nd
+            # from 1) — un-shuffle back to natural order
+            order = (
+                list(range(0, height, 8)) + list(range(4, height, 8))
+                + list(range(2, height, 4)) + list(range(1, height, 2))
+            )
+            out = np.empty_like(img)
+            out[order] = img
+            return out
+        return img
     raise ValueError("GIF contains no image descriptor")
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
     """Minimal deterministic GIF87a encoder (asset synthesis +
-    round-trip tests): one non-interlaced image, global color table
-    from ``palette`` ([n,3] uint8, n a power of two >= 4), pixels from
-    ``indices`` ([H,W] ints). Real LZW compression via
+    round-trip tests): one image, global color table from ``palette``
+    ([n,3] uint8, n a power of two >= 4), pixels from ``indices``
+    ([H,W] ints); ``interlace=True`` writes rows in the four-pass
+    GIF order with the flag set. Real LZW compression via
     :func:`_lzw_encode`."""
     height, width = indices.shape
+    if interlace:
+        order = (
+            list(range(0, height, 8)) + list(range(4, height, 8))
+            + list(range(2, height, 4)) + list(range(1, height, 2))
+        )
+        indices = indices[order]
     n = palette.shape[0]
     bits = max(2, (n - 1).bit_length())
     if n != 1 << bits:
@@ -960,7 +1022,9 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
         sub.append(len(chunk))
         sub += chunk
     sub.append(0)
-    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    desc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
     return (
         header + palette.astype(np.uint8).tobytes() + desc + bytes(sub)
         + b"\x3b"

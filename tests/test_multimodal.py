@@ -160,14 +160,17 @@ def test_decode_image_png_rejects_unsupported_and_corrupt():
             + chunk(b"IEND", b"")
         )
 
-    with pytest.raises(NotImplementedError, match="16"):
-        decode_image(png_with_ihdr(16, 2))
-    # palette and Adam7 are REAL paths now (see the dedicated tests);
+    # 16-bit, palette, and Adam7 are REAL paths now (dedicated tests);
     # their malformed variants fail with ValueError
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_image(png_with_ihdr(16, 2))
     with pytest.raises(ValueError, match="without a PLTE"):
         decode_image(png_with_ihdr(8, 3))
     with pytest.raises(ValueError, match="length mismatch"):
         decode_image(png_with_ihdr(8, 2, interlace=1))
+    # interlaced 16-bit is the remaining honest combination
+    with pytest.raises(NotImplementedError, match="interlaced 16-bit"):
+        decode_image(png_with_ihdr(16, 2, interlace=1))
 
 
 def test_decode_images_operator_exact_stats(spark):
@@ -455,16 +458,24 @@ def test_gif_decoder_rejects_interlace_truncation_and_bad_codes():
         [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
     )
     idx = np.array([[0, 1], [2, 3]], dtype=np.int64)
-    payload = bytearray(encode_gif(idx, pal4))
-    # image descriptor packed byte sits 9 bytes into the 0x2C block
+    # interlace is a REAL path now: flipping the flag on sequential
+    # rows decodes fine but un-shuffles them (rows 0,1 arrive as the
+    # pass-order rows 0,1 -> natural order 0,1 for h=2: identical; use
+    # h=4 where pass order is 0,2,1,3... actually passes for h=4 are
+    # rows 0 (pass1), 2 (pass3), 1, 3 (pass4) -> decoder maps back)
+    idx4 = np.array([[0], [1], [2], [3]], dtype=np.int64)
+    payload = bytearray(encode_gif(idx4, pal4))
     desc_at = payload.index(0x2C, 13)
-    payload[desc_at + 9] |= 0x40  # set interlace flag
-    with _pytest.raises(NotImplementedError):
-        _decode_gif(bytes(payload))
+    payload[desc_at + 9] |= 0x40  # claim interlace on sequential rows
+    got = _decode_gif(bytes(payload))
+    # rows arrive "as pass order" [0,1,2,3] -> natural [0,2,1,3]^-1
+    order = [0, 2, 1, 3]  # pass order for h=4: rows 0, 2, 1, 3
+    assert (got[order] == pal4[idx4]).all()
     with _pytest.raises(ValueError):
         _decode_gif(b"GIF87a" + b"\x00" * 4)  # truncated header
-    with _pytest.raises(ValueError):
-        _lzw_decode(b"", 2)  # no EOI
+    # missing EOI is tolerated per spec (pixel-count check catches
+    # genuine truncation): empty stream decodes to no symbols
+    assert _lzw_decode(b"", 2) == []
     with _pytest.raises(ValueError):
         # code far beyond the table: 0b111111 at width 3 after clear
         _lzw_decode(bytes([0b10111100, 0b1]), 2)
@@ -711,18 +722,22 @@ def test_png_palette_all_depths_exact():
         out = decode_image(encode_png_palette(idx, pal, depth))
         assert out.shape == (5, 7, 3)
         assert (out == pal[idx]).all(), depth
-    # tRNS on a palette image is the remaining honest limit
-    import pytest as _pytest
+    # tRNS palette alpha is a REAL path: indices map to RGBA
     import struct
     import zlib
 
     payload = bytearray(encode_png_palette(idx, pal, 8))
-    trns = struct.pack(">I", 1) + b"tRNS" + b"\x80"
-    trns += struct.pack(">I", zlib.crc32(b"tRNS\x80") & 0xFFFFFFFF)
-    iend_at = payload.index(b"IEND") - 4
-    payload[iend_at:iend_at] = trns
-    with _pytest.raises(NotImplementedError, match="tRNS"):
-        decode_image(bytes(payload))
+    alpha = bytes(rng.integers(0, 256, pal.shape[0]).astype(np.uint8))
+    trns = struct.pack(">I", len(alpha)) + b"tRNS" + alpha
+    trns += struct.pack(">I", zlib.crc32(b"tRNS" + alpha) & 0xFFFFFFFF)
+    at = payload.index(b"IDAT") - 4
+    payload[at:at] = trns
+    out = decode_image(bytes(payload))
+    assert out.shape == (*idx.shape, 4)
+    assert (out[:, :, :3] == pal[idx]).all()
+    assert (
+        out[:, :, 3] == np.frombuffer(alpha, dtype=np.uint8)[idx]
+    ).all()
 
 
 def test_png_adam7_interlace_exact():
@@ -859,3 +874,36 @@ def test_decode_audio_g711_matches_stdlib_audioop():
     )
     with _pytest.raises(NotImplementedError, match="format tag 85"):
         decode_audio(wav)
+
+
+def test_png_16bit_roundtrip_every_filter_and_channels():
+    """16-bit PNG: byte-level filters with doubled bpp, big-endian
+    sample pairs — exact uint16 round-trip for every filter type and
+    color type."""
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(4)
+    for channels in (1, 2, 3, 4):
+        for ftype in range(5):
+            arr = rng.integers(0, 65536, (5, 7, channels)).astype(np.uint16)
+            out = decode_image(encode_png(arr, filter_type=ftype))
+            assert out.dtype == np.uint16
+            assert (out == arr).all(), (channels, ftype)
+
+
+def test_gif_interlaced_roundtrip():
+    """GIF 4-pass interlace: rows written in pass order un-shuffle back
+    exactly, for heights above and below one pass stride."""
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import _decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    gray = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+    for h, w in ((1, 1), (2, 3), (7, 5), (8, 8), (13, 9), (31, 4)):
+        idx = rng.integers(0, 256, (h, w)).astype(np.int64)
+        assert (
+            _decode_gif(encode_gif(idx, gray, interlace=True)) == gray[idx]
+        ).all(), (h, w)
