@@ -15,7 +15,9 @@ library, only care. Scope is honest and explicit:
   EOBn run decoding) AND successive approximation for both DC (bit-
   plane refinement) and AC (the T.81 G.1.2.3 correction-bit protocol:
   newly-significant runs, crossed-coefficient corrections, EOB runs
-  whose covered blocks still carry correction bits); 1x1-sampled.
+  whose covered blocks still carry correction bits); 1x1-sampled;
+  DRI/restart markers honored in every scan type (byte-align, consume
+  RSTn, reset DC predictors + EOB run — r7 ADVICE item).
   Quant + Huffman tables are read from the file's own DQT/DHT segments
   (never assumed, reparsed between scans), so output depends only on
   the payload. The remaining honest gaps: arithmetic coding (SOF9+),
@@ -193,6 +195,14 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits
         return bytes(self.out)
+
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-padding, then emit RSTn — markers are raw
+        bytes in the stream, never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
 
 
 class _BitReader:
@@ -550,6 +560,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos = _decode_progressive_scan(
                 payload, pos + 2 + seg_len, frame, coef, dc_pred,
                 huff_dc, huff_ac, scan, (ss, se, ah, al),
+                restart_interval,
             )
             continue  # pos already sits at the next marker
         # APPn/COM/etc: skip
@@ -683,14 +694,46 @@ def _decode_progressive_scan(
     huff_ac: dict,
     scan: list[tuple[int, int, int]],
     band: tuple[int, int, int, int],
+    restart_interval: int = 0,
 ) -> int:
     """Decode ONE progressive scan's entropy data into the coefficient
-    buffers; returns the offset of the next marker."""
+    buffers; returns the offset of the next marker.
+
+    DRI/RSTn (r7 ADVICE item): progressive scans honor restart
+    intervals like the baseline path — every ``restart_interval``
+    data units (MCUs, which at the 1x1 sampling progressive mode
+    supports are single blocks) the bit stream byte-aligns, an
+    optional RST0-7 marker is consumed, and DC predictors / the EOB
+    run reset (T.81 G.1.2: no entropy state crosses a restart)."""
     h, wd, comps = frame
     ss, se, ah, al = band
     cid_index = {c[0]: i for i, c in enumerate(comps)}
     reader = _BitReader(payload, pos)
     blocks_y, blocks_x = coef[0].shape[0], coef[0].shape[1]
+
+    unit_count = 0
+
+    def restart_boundary() -> bool:
+        """Align + consume the RSTn sitting between restart intervals;
+        True when a boundary was crossed (caller resets its state)."""
+        nonlocal unit_count
+        if not (
+            restart_interval
+            and unit_count
+            and unit_count % restart_interval == 0
+        ):
+            return False
+        reader.align()
+        if (
+            reader.pos + 2 <= len(payload)
+            and payload[reader.pos] == 0xFF
+            and 0xD0 <= payload[reader.pos + 1] <= 0xD7
+        ):
+            reader.pos += 2
+        for i in range(len(dc_pred)):
+            dc_pred[i] = 0
+        return True
+
     try:
         if ss == 0:  # DC scan (interleaved over the scan's components)
             if se != 0:
@@ -698,6 +741,8 @@ def _decode_progressive_scan(
             members = [(cid_index[cs], td) for cs, td, _ta in scan]
             for by in range(blocks_y):
                 for bx in range(blocks_x):
+                    restart_boundary()
+                    unit_count += 1
                     for ci, td in members:
                         if ah == 0:
                             size = _huff_decode(reader, huff_dc[td])
@@ -725,6 +770,9 @@ def _decode_progressive_scan(
 
             for by in range(blocks_y):
                 for bx in range(blocks_x):
+                    if restart_boundary():
+                        eobrun = 0
+                    unit_count += 1
                     blk = coef[ci][by, bx]
                     if eobrun > 0:
                         if ah != 0:  # run blocks still carry corrections
@@ -844,6 +892,7 @@ def encode_jpeg_progressive(
     ac_bands: tuple = ((1, 5), (6, 63)),
     dc_split: bool = False,
     ac_sa_level: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) encoder for round-trip tests: grayscale or
     4:4:4 RGB, spectral selection with the given AC bands per
@@ -852,8 +901,12 @@ def encode_jpeg_progressive(
     ``ac_sa_level=N`` emits each AC band with successive approximation
     too — first scan at Al=N (sign-magnitude point transform), then
     one refinement scan per bit plane down to 0, complete with
-    cross-block EOB-run correction-bit buffering (T.81 G.1.2.3).
-    Same tables/quality scaling as :func:`encode_jpeg`."""
+    cross-block EOB-run correction-bit buffering (T.81 G.1.2.3);
+    ``restart_interval=R`` writes a DRI segment and an RST0-7 marker
+    every R data units in EVERY scan, with DC predictors and EOB runs
+    reset at each boundary (exercises the decoder's progressive
+    restart path). Same tables/quality scaling as
+    :func:`encode_jpeg`."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, wd, ncomp = img.shape
@@ -909,6 +962,13 @@ def encode_jpeg_progressive(
     )
     sof = bytes([8]) + struct.pack(">HH", h, wd) + bytes([ncomp]) + sof_comps
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def at_boundary(unit: int) -> bool:
+        return bool(
+            restart_interval and unit and unit % restart_interval == 0
+        )
 
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
@@ -931,8 +991,14 @@ def encode_jpeg_progressive(
     def emit_dc_scan(al: int) -> bytes:
         w = _BitWriter()
         pred = [0] * ncomp
+        unit = rst = 0
         for by in range(blocks_y):
             for bx in range(blocks_x):
+                if at_boundary(unit):
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
+                    pred = [0] * ncomp
+                unit += 1
                 for ci in range(ncomp):
                     t = 0 if ci == 0 else 1
                     v = int(coefs[ci][by, bx, 0]) >> al
@@ -948,8 +1014,13 @@ def encode_jpeg_progressive(
 
     def emit_dc_refine(al: int) -> bytes:
         w = _BitWriter()
+        unit = rst = 0
         for by in range(blocks_y):
             for bx in range(blocks_x):
+                if at_boundary(unit):
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
+                unit += 1
                 for ci in range(ncomp):
                     w.write((int(coefs[ci][by, bx, 0]) >> al) & 1, 1)
         return w.flush()
@@ -957,8 +1028,13 @@ def encode_jpeg_progressive(
     def emit_ac_scan(ci: int, ss: int, se: int, al: int = 0) -> bytes:
         t = 0 if ci == 0 else 1
         w = _BitWriter()
+        unit = rst = 0
         for by in range(blocks_y):
             for bx in range(blocks_x):
+                if at_boundary(unit):
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
+                unit += 1
                 zz = coefs[ci][by, bx]
                 # sign-magnitude point transform (T.81 G.1.2.2)
                 band = [
@@ -1031,8 +1107,14 @@ def encode_jpeg_progressive(
             pending_eob = 0
             pending_bits = []
 
+        unit = rst = 0
         for by in range(blocks_y):
             for bx in range(blocks_x):
+                if at_boundary(unit):
+                    flush_eob()  # EOB runs never cross a restart
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
+                unit += 1
                 zz = coefs[ci][by, bx]
                 n = se - ss + 1
                 hist = [abs(int(zz[ss + i])) >> (al + 1) for i in range(n)]

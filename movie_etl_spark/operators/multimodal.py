@@ -5,17 +5,19 @@ Decode has a REAL path and an honest stub, split by codec class:
 
 - ``decode_image`` genuinely parses the formats a stdlib+numpy
   environment can handle — PPM (P6), PGM (P5), 24-bit uncompressed
-  BMP, 8-bit non-interlaced PNG (stdlib ``zlib`` inflates IDAT),
-  GIF87a/89a (pure-Python variable-width LZW, in this module), and
-  baseline sequential JPEG (``operators.jpeg``: numpy 8x8 DCT +
-  canonical Huffman, tables read from the payload's own DQT/DHT) —
-  into H×W×C uint8 pixel arrays.
-- Codec VARIANTS beyond those scopes (progressive/arithmetic/
-  subsampled JPEG, interlaced PNG/GIF, MP3's MDCT psychoacoustics,
-  video containers) raise NotImplementedError, and
-  ``extract_features``'s ``fake`` fallback derives a deterministic md5
-  pseudo-feature instead so the Spark-side plumbing stays testable
-  end-to-end.
+  BMP, PNG in all spec bit depths/layouts this module targets (8- and
+  16-bit gray/GA/RGB/RGBA, palette 1/2/4/8 incl. tRNS alpha, Adam7
+  interlace for all of those; stdlib ``zlib`` inflates IDAT),
+  GIF87a/89a incl. 4-pass interlace (pure-Python variable-width LZW,
+  in this module), and baseline + progressive + 2x2/2x1-subsampled
+  JPEG (``operators.jpeg``: numpy 8x8 DCT + canonical Huffman, tables
+  read from the payload's own DQT/DHT) — into H×W×C pixel arrays
+  (uint8; uint16 for 16-bit PNG).
+- The REMAINING codec variants (arithmetic-coded / 12-bit /
+  hierarchical JPEG, MP3's MDCT psychoacoustics, video containers)
+  raise NotImplementedError, and ``extract_features``'s ``fake``
+  fallback derives a deterministic md5 pseudo-feature instead so the
+  Spark-side plumbing stays testable end-to-end.
 
 Everything runs through ``mapInPandas`` so payload bytes move
 driver-free through Arrow record batches; at 100 TB the pattern is:
@@ -61,15 +63,27 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode for stdlib-parseable formats.
 
     Supports PPM binary (P6), PGM binary (P5), 24-bit uncompressed
-    (BI_RGB) BMP, 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
-    RGBA — stdlib ``zlib`` inflates IDAT), GIF87a/89a (pure-Python
-    LZW, operators/jpeg-style spec implementation in this module), and
-    baseline sequential JPEG (operators.jpeg: pure numpy DCT + Huffman
-    — SOF0, 8-bit, 1x1 sampling). Returns an H×W×C uint8 array (C=1
-    for PGM/gray JPEG). Raises ``NotImplementedError`` only for
-    genuinely unimplemented codec VARIANTS (progressive/arithmetic/
-    subsampled JPEG, interlaced PNG/GIF, palette PNG, 16-bit depths)
-    and ``ValueError`` for malformed/unknown bytes.
+    (BI_RGB) BMP, PNG (8/16-bit gray / gray+alpha / RGB / RGBA,
+    palette at bit depth 1/2/4/8 incl. tRNS alpha, sequential AND
+    Adam7-interlaced for all of those — stdlib ``zlib`` inflates
+    IDAT), GIF87a/89a incl. 4-pass interlace (pure-Python LZW,
+    operators/jpeg-style spec implementation in this module), and
+    JPEG: baseline sequential SOF0, progressive SOF2, and 2x2/2x1
+    chroma subsampling (operators.jpeg: pure numpy DCT + Huffman).
+
+    Returns an H×W×C array (C=1 for PGM/gray JPEG): uint8 for every
+    format EXCEPT 16-bit PNG, which keeps its native uint16 range
+    0-65535 (downscaling to uint8 would silently destroy 8 bits of
+    signal). Downstream consumers (``decode_images`` stats,
+    ``perceptual_hash``) are exact-integer and range-relative — mean
+    comparisons and gradient signs, never absolute 0-255 thresholds —
+    so both dtypes flow through them correctly (pinned by
+    test_multimodal.test_sixteen_bit_png_through_stats_and_phash).
+
+    Raises ``NotImplementedError`` only for the genuinely
+    unimplemented codec variants (arithmetic-coded / 12-bit /
+    hierarchical JPEG, MP3, video) and ``ValueError`` for
+    malformed/unknown bytes.
     """
     if payload is None or len(payload) < 2:
         raise ValueError("empty or truncated payload")
@@ -213,14 +227,52 @@ def _unpack_bits(rows: np.ndarray, width: int, depth: int) -> np.ndarray:
     return out[:, :width]
 
 
+def _png_index_grid(
+    raw: bytes, width: int, height: int, bit_depth: int, interlace: int
+) -> np.ndarray:
+    """Unfilter + bit-unpack a single-channel sub-byte/8-bit PNG image
+    (palette indices or low-bit grayscale) to an [H,W] uint8 grid,
+    sequential or Adam7 (bit packing restarts every scanline of every
+    pass)."""
+
+    def unpack(rows: np.ndarray, w: int) -> np.ndarray:
+        return (
+            rows[:, :w] if bit_depth == 8 else _unpack_bits(rows, w, bit_depth)
+        )
+
+    if interlace == 0:
+        stride = (width * bit_depth + 7) // 8
+        rows, end = _png_unfilter(raw, 0, height, stride, 1)
+        if end != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        return unpack(rows, width)
+    idx = np.zeros((height, width), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * bit_depth + 7) // 8
+        rows, pos = _png_unfilter(raw, pos, ph, stride, 1)
+        idx[y0::dy, x0::dx] = unpack(rows, pw)
+    if pos != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    return idx
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """PNG via stdlib ``zlib``: signature + CRC-verified chunk walk,
     IHDR validation, concatenated-IDAT inflate, per-scanline unfilter
-    (types 0-4: None/Sub/Up/Average/Paeth). Supports 8-bit gray /
-    gray+alpha / RGB / RGBA, PALETTE images at bit depth 1/2/4/8
-    (PLTE lookup -> RGB), and Adam7 INTERLACED 8-bit images (7-pass
-    deinterlace, per-pass filter state). 16-bit depth and
-    palette-with-tRNS remain NotImplementedError — stated limits."""
+    (types 0-4: None/Sub/Up/Average/Paeth). Supports 8-bit and 16-bit
+    gray / gray+alpha / RGB / RGBA (16-bit returns uint16 — see
+    ``decode_image``'s contract), PALETTE images at bit depth 1/2/4/8
+    (PLTE lookup -> RGB, tRNS -> per-entry alpha), and Adam7
+    INTERLACE for every one of those layouts (7-pass deinterlace with
+    per-pass filter state; sub-byte bit packing and 2-byte samples
+    both restart per pass scanline). No remaining
+    NotImplementedError combinations — unknown color types / bit
+    depths outside the spec grid raise with the offending values."""
     import zlib
 
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -262,26 +314,16 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
     raw = zlib.decompress(bytes(idat))
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG without a PLTE chunk")
         if bit_depth not in (1, 2, 4, 8):
-            raise NotImplementedError(
-                f"palette PNG bit depth {bit_depth} not supported"
+            raise ValueError(
+                f"palette PNG bit depth {bit_depth} outside the spec set"
             )
-        if interlace != 0:
-            raise NotImplementedError(
-                "interlaced palette PNG not supported"
-            )
-        stride = (width * bit_depth + 7) // 8
-        rows, end = _png_unfilter(raw, 0, height, stride, 1)
-        if end != len(raw):
-            raise ValueError("PNG pixel data length mismatch")
-        idx = (
-            rows[:, :width]
-            if bit_depth == 8
-            else _unpack_bits(rows, width, bit_depth)
-        )
+        idx = _png_index_grid(raw, width, height, bit_depth, interlace)
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index outside PLTE")
         rgb = plte[idx.astype(np.int64)]
@@ -294,22 +336,49 @@ def _decode_png(payload: bytes) -> np.ndarray:
             )
         return rgb
     if bit_depth == 16 and color_type in _PNG_CHANNELS:
-        if interlace != 0:
-            raise NotImplementedError("interlaced 16-bit PNG")
         channels = _PNG_CHANNELS[color_type]
-        stride = width * channels * 2
-        rows, end = _png_unfilter(raw, 0, height, stride, channels * 2)
-        if end != len(raw):
+        if interlace == 0:
+            stride = width * channels * 2
+            rows, end = _png_unfilter(raw, 0, height, stride, channels * 2)
+            if end != len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+            return (
+                np.frombuffer(rows.tobytes(), dtype=">u2")
+                .reshape(height, width, channels)
+                .astype(np.uint16)
+            )
+        # Adam7 16-bit: filters operate on the byte stream with
+        # bpp = channels*2 per pass; samples stay big-endian pairs
+        out16 = np.zeros((height, width, channels), dtype=np.uint16)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, pos2 = _png_unfilter(
+                raw, pos2, ph, pw * channels * 2, channels * 2
+            )
+            out16[y0::dy, x0::dx, :] = (
+                np.frombuffer(rows.tobytes(), dtype=">u2")
+                .reshape(ph, pw, channels)
+                .astype(np.uint16)
+            )
+        if pos2 != len(raw):
             raise ValueError("PNG pixel data length mismatch")
-        return (
-            np.frombuffer(rows.tobytes(), dtype=">u2")
-            .reshape(height, width, channels)
-            .astype(np.uint16)
-        )
+        return out16
+    if color_type == 0 and bit_depth in (1, 2, 4):
+        # low-bit grayscale: same sub-byte grid as palette, then the
+        # spec's sample scaling (255/(2^d-1) is an exact integer)
+        scale = 255 // ((1 << bit_depth) - 1)
+        idx = _png_index_grid(raw, width, height, bit_depth, interlace)
+        return (idx.astype(np.uint16) * scale).astype(np.uint8)[:, :, None]
     if bit_depth != 8 or color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"only 8/16-bit gray/GA/RGB/RGBA (+ palette 1/2/4/8) PNG "
-            f"supported (bit_depth={bit_depth}, color_type={color_type})"
+        # the full legal PNG grid is covered above; anything else is a
+        # malformed (depth, color type) combination per the spec table
+        raise ValueError(
+            f"invalid PNG bit_depth={bit_depth} / color_type={color_type} "
+            f"combination"
         )
     channels = _PNG_CHANNELS[color_type]
     if interlace == 0:
@@ -318,8 +387,6 @@ def _decode_png(payload: bytes) -> np.ndarray:
         if end != len(raw):
             raise ValueError("PNG pixel data length mismatch")
         return out.reshape(height, width, channels)
-    if interlace != 1:
-        raise ValueError(f"unknown PNG interlace method {interlace}")
     # Adam7: seven independently filtered sub-images, concatenated in
     # one zlib stream; scatter each pass back onto its grid
     out = np.zeros((height, width, channels), dtype=np.uint8)
@@ -334,6 +401,40 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if pos != len(raw):
         raise ValueError("PNG pixel data length mismatch")
     return out
+
+
+def _filter_scanline(
+    line: np.ndarray, prev: np.ndarray, bpp: int, filter_type: int
+) -> bytes:
+    """Apply one PNG filter (0-4) to an int32 byte scanline given the
+    previous UNFILTERED scanline — shared by the sequential and Adam7
+    encoders (filters are defined on bytes regardless of depth)."""
+    shifted = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+    if filter_type == 0:
+        enc = line
+    elif filter_type == 1:  # Sub
+        enc = line - shifted
+    elif filter_type == 2:  # Up
+        enc = line - prev
+    elif filter_type == 3:  # Average
+        enc = line - ((shifted + prev) >> 1)
+    elif filter_type == 4:  # Paeth
+        prev_shift = np.concatenate(
+            [np.zeros(bpp, dtype=np.int32), prev[:-bpp]]
+        )
+        p = shifted + prev - prev_shift
+        pa = np.abs(p - shifted)
+        pb = np.abs(p - prev)
+        pc = np.abs(p - prev_shift)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc),
+            shifted,
+            np.where(pb <= pc, prev, prev_shift),
+        )
+        enc = line - pred
+    else:
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+    return (enc & 0xFF).astype(np.uint8).tobytes()
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:  # noqa: C901
@@ -364,33 +465,8 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:  # noqa: C901
         line = np.frombuffer(arr[y].tobytes(), dtype=np.uint8).astype(
             np.int32
         )
-        shifted = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
-        if filter_type == 0:
-            enc = line
-        elif filter_type == 1:  # Sub
-            enc = line - shifted
-        elif filter_type == 2:  # Up
-            enc = line - prev
-        elif filter_type == 3:  # Average
-            enc = line - ((shifted + prev) >> 1)
-        elif filter_type == 4:  # Paeth
-            prev_shift = np.concatenate(
-                [np.zeros(bpp, dtype=np.int32), prev[:-bpp]]
-            )
-            p = shifted + prev - prev_shift
-            pa = np.abs(p - shifted)
-            pb = np.abs(p - prev)
-            pc = np.abs(p - prev_shift)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc),
-                shifted,
-                np.where(pb <= pc, prev, prev_shift),
-            )
-            enc = line - pred
-        else:
-            raise ValueError(f"invalid PNG filter type {filter_type}")
         filtered.append(filter_type)
-        filtered += (enc & 0xFF).astype(np.uint8).tobytes()
+        filtered += _filter_scanline(line, prev, bpp, filter_type)
         prev = line
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -914,8 +990,9 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     """GIF87a/89a decode via the pure-Python LZW above: logical screen
     descriptor, global/local color table, extension-block skipping,
     first image descriptor -> H×W×3 RGB uint8 through the palette.
-    Interlaced images raise NotImplementedError (Adam-style row
-    shuffling, same honesty line as interlaced PNG)."""
+    The 4-pass interlace layout is a REAL path (rows written in pass
+    order un-shuffle onto the 8/8/4/2-stride grid — r7b, round-trip
+    tested); malformed streams raise ValueError."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
@@ -1138,11 +1215,15 @@ def jpeg_fidelity_check(
 
 
 def encode_png_palette(
-    indices: np.ndarray, palette: np.ndarray, bit_depth: int = 8
+    indices: np.ndarray,
+    palette: np.ndarray,
+    bit_depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """Deterministic PALETTE PNG encoder (round-trip tests): [H,W]
     index array + [n,3] palette, bit depth 1/2/4/8 (MSB-first bit
-    packing), filter type 0 scanlines."""
+    packing), filter type 0 scanlines; ``interlace`` writes the seven
+    Adam7 passes (bit packing restarts per pass scanline)."""
     import zlib
 
     if bit_depth not in (1, 2, 4, 8):
@@ -1151,15 +1232,28 @@ def encode_png_palette(
     if indices.max(initial=0) >= min(palette.shape[0], 1 << bit_depth):
         raise ValueError("index outside palette/depth range")
     per_byte = 8 // bit_depth
-    stride = (width * bit_depth + 7) // 8
+
+    def pack_rows(sub: np.ndarray) -> bytearray:
+        ph, pw = sub.shape
+        stride = (pw * bit_depth + 7) // 8
+        out = bytearray()
+        for y in range(ph):
+            out.append(0)  # filter None
+            packed = bytearray(stride)
+            for x in range(pw):
+                shift = 8 - bit_depth * (x % per_byte + 1)
+                packed[x // per_byte] |= int(sub[y, x]) << shift
+            out += packed
+        return out
+
     body = bytearray()
-    for y in range(height):
-        body.append(0)  # filter None
-        packed = bytearray(stride)
-        for x in range(width):
-            shift = 8 - bit_depth * (x % per_byte + 1)
-            packed[x // per_byte] |= int(indices[y, x]) << shift
-        body += packed
+    if not interlace:
+        body += pack_rows(indices)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = indices[y0::dy, x0::dx]
+            if sub.size:
+                body += pack_rows(sub)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -1167,7 +1261,9 @@ def encode_png_palette(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 3, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, 3, 0, 0, int(interlace)
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -1177,24 +1273,34 @@ def encode_png_palette(
     )
 
 
-def encode_png_interlaced(arr: np.ndarray) -> bytes:
+def encode_png_interlaced(arr: np.ndarray, filter_type: int = 0) -> bytes:
     """Deterministic Adam7 INTERLACED PNG encoder (round-trip tests):
-    8-bit gray/GA/RGB/RGBA, each pass extracted on the standard grid
-    and written with filter type 0 scanlines."""
+    8-bit OR 16-bit gray/GA/RGB/RGBA, each pass extracted on the
+    standard grid; every scanline uses the same ``filter_type`` (0-4),
+    with filter state RESET per pass (the spec treats each pass as an
+    independent sub-image)."""
     import zlib
 
     if arr.ndim == 2:
         arr = arr[:, :, None]
     height, width, channels = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = arr.astype(">u2") if depth == 16 else arr.astype(np.uint8)
+    bpp = channels * (depth // 8)
     body = bytearray()
     for x0, y0, dx, dy in _ADAM7:
         sub = arr[y0::dy, x0::dx, :]
         if sub.size == 0:
             continue
+        prev = np.zeros(sub.shape[1] * bpp, dtype=np.int32)
         for y in range(sub.shape[0]):
-            body.append(0)
-            body += sub[y].astype(np.uint8).tobytes()
+            line = np.frombuffer(sub[y].tobytes(), dtype=np.uint8).astype(
+                np.int32
+            )
+            body.append(filter_type)
+            body += _filter_scanline(line, prev, bpp, filter_type)
+            prev = line
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -1202,7 +1308,7 @@ def encode_png_interlaced(arr: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 1)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -104,9 +104,12 @@ def tfidf_top_terms(
     Scale shape: tokenize once, aggregate (doc, term) counts [shuffle
     1, on the compound key], derive per-term doc frequencies from that
     aggregate [shuffle 2, on term — input already one row per
-    (doc, term)], broadcast the tiny df table back, then one window
-    per doc [shuffle 3]. Never a per-term corpus scan; nothing
-    driver-side.
+    (doc, term)], join the df table back UNHINTED (its size is the
+    corpus VOCABULARY — broadcastable for small corpora but unbounded
+    at 100 TB, so AQE picks broadcast vs shuffled-hash from the
+    runtime size instead of a hint that would OOM on a large
+    vocabulary — r7 ADVICE item), then one window per doc [shuffle
+    3]. Never a per-term corpus scan; nothing driver-side.
     """
     from pyspark.sql import Window
 
@@ -125,7 +128,7 @@ def tfidf_top_terms(
     # corpus size as a broadcast 1-row aggregate (lazy, no driver count)
     n_docs = df.agg(F.count("*").alias("_n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score_fp",

@@ -225,10 +225,13 @@ def apply_changelog(
     so the order is deterministic; a ts-only sequence with duplicate
     timestamps would make the survivor nondeterministic and
     un-oracle-able), ``delete_col`` is a boolean column marking
-    tombstones. Returns the latest non-tombstoned row per key, change
-    columns intact, ``delete_col`` dropped: a key whose NEWEST event is
-    a tombstone disappears from the output entirely (resurrections —
-    an upsert after a delete — survive, matching MERGE semantics).
+    tombstones (a NULL flag means "not a delete" — the Debezium
+    convention for upsert-only topics; without the coalesce a NULL
+    would three-value-logic the newest row out of existence). Returns
+    the latest non-tombstoned row per key, change columns intact,
+    ``delete_col`` dropped: a key whose NEWEST event is a tombstone
+    disappears from the output entirely (resurrections — an upsert
+    after a delete — survive, matching MERGE semantics).
 
     Plan: one window (row_number over keys, seq desc) = ONE shuffle on
     the entity key, then a filter — no join. At 100 TB the shuffle is
@@ -244,7 +247,10 @@ def apply_changelog(
     )
     return (
         log.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (~F.col(delete_col)))
+        .filter(
+            (F.col("_rn") == 1)
+            & ~F.coalesce(F.col(delete_col), F.lit(False))
+        )
         .drop("_rn", delete_col)
     )
 

@@ -1851,6 +1851,267 @@ def q_g1_clean_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select("head_id", "tail_id", "relationship_id", "rel_type", "role")
 
 
+#: crew departments used by g2's synthetic docs — the 11 the reference
+#: decodes (utils/etl.py department map) plus two unknowns that must be
+#: DROPPED by the C6 inner-join semantics.
+_G2_DEPTS = [
+    "Writing", "Editing", "Crew", "Directing", "Camera", "Lighting",
+    "Costume & Make-Up", "Sound", "Production", "Art", "Visual Effects",
+    "Second Unit", "Stunts",
+]
+
+_G2_REL_CASE = """CASE didx
+        WHEN 0 THEN 'WRITTEN_BY' WHEN 1 THEN 'EDITED_BY'
+        WHEN 2 THEN 'CREW_BY' WHEN 3 THEN 'DIRECTED_BY'
+        WHEN 4 THEN 'CAMERA_BY' WHEN 5 THEN 'LIGHTNING_BY'
+        WHEN 6 THEN 'COSTUMED_AND_MAKEUP_BY' WHEN 7 THEN 'SOUND_BY'
+        WHEN 8 THEN 'PRODUCED_BY' WHEN 9 THEN 'ART_BY'
+        WHEN 10 THEN 'VISUAL_EFFECTS_BY' END"""
+
+
+@register(
+    "g2_full_graph_parity",
+    f"""
+    WITH m AS (
+      SELECT CAST(o_orderkey AS INT) AS ok FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o_orderkey)
+    ),
+    cast_b AS (
+      SELECT DISTINCT CAST(l_orderkey AS INT) AS ok, CAST(l_partkey AS INT) AS pid
+      FROM lineitem
+    ),
+    crew_raw AS (
+      SELECT CAST(l_orderkey AS INT) AS ok, CAST(l_suppkey AS INT) AS sid,
+             CAST((l_suppkey + l_linenumber) % 13 AS INT) AS didx
+      FROM lineitem
+    ),
+    crew_rel AS (
+      SELECT DISTINCT ok, sid, {_G2_REL_CASE} AS rel
+      FROM crew_raw WHERE didx < 11
+    ),
+    genre_b AS (
+      SELECT DISTINCT ok, g FROM (
+        SELECT ok, ok % 7 AS g FROM m UNION ALL SELECT ok, ok % 11 FROM m)
+    ),
+    country_b AS (
+      SELECT DISTINCT ok, c FROM (
+        SELECT ok, ok % 4 AS c FROM m UNION ALL SELECT ok, ok % 6 FROM m)
+    ),
+    persons AS (
+      SELECT DISTINCT person FROM (
+        SELECT pid AS person FROM cast_b
+        UNION ALL SELECT sid AS person FROM crew_raw)
+    ),
+    prov AS (
+      SELECT ok, ok % 3 + 1 AS p, 'buy' AS t FROM m
+      UNION ALL SELECT ok, ok % 4 + 1, 'rent' FROM m
+      UNION ALL SELECT ok, ok % 5 + 1, 'subscription' FROM m WHERE ok % 2 = 1
+    ),
+    colls AS (SELECT ok, ok % 5 AS cid FROM m WHERE ok % 2 = 0),
+    comp AS (
+      SELECT CAST(i AS INT) AS company_id,
+             CASE WHEN i > 3 THEN CAST(i % 3 + 1 AS INT) END AS parent
+      FROM range(1, 11) t(i)
+    )
+    SELECT 'nodes/Movie' AS gtable, count(*) AS n_rows,
+           CAST(COALESCE(sum(ok), 0) AS BIGINT) AS checksum FROM m
+    UNION ALL SELECT 'nodes/Genre', count(*), CAST(COALESCE(sum(g), 0) AS BIGINT)
+      FROM (SELECT DISTINCT g FROM genre_b)
+    UNION ALL SELECT 'nodes/Language', count(*), CAST(COALESCE(sum(lx), 0) AS BIGINT)
+      FROM (SELECT DISTINCT ok % 5 AS lx FROM m)
+    UNION ALL SELECT 'nodes/Country', count(*), CAST(COALESCE(sum(c), 0) AS BIGINT)
+      FROM (SELECT DISTINCT c FROM country_b)
+    UNION ALL SELECT 'nodes/Person', count(*), CAST(COALESCE(sum(person), 0) AS BIGINT)
+      FROM persons
+    UNION ALL SELECT 'nodes/WatchProvider', count(*), CAST(COALESCE(sum(p), 0) AS BIGINT)
+      FROM (SELECT DISTINCT p FROM prov)
+    UNION ALL SELECT 'nodes/Collection', count(*), CAST(COALESCE(sum(cid), 0) AS BIGINT)
+      FROM (SELECT DISTINCT cid FROM colls)
+    UNION ALL SELECT 'nodes/Company', count(*), CAST(COALESCE(sum(company_id), 0) AS BIGINT)
+      FROM comp
+    UNION ALL SELECT 'edges/HAS_GENRE', count(*), CAST(COALESCE(sum(ok + g), 0) AS BIGINT)
+      FROM genre_b
+    UNION ALL SELECT 'edges/HAS_LANGUAGE', count(*),
+      CAST(COALESCE(sum(ok + ok % 5), 0) AS BIGINT) FROM m
+    UNION ALL SELECT 'edges/PRODUCTION_COUNTRY', count(*),
+      CAST(COALESCE(sum(ok + c), 0) AS BIGINT) FROM country_b
+    UNION ALL SELECT 'edges/ACTED_IN', count(*),
+      CAST(COALESCE(sum(ok + pid), 0) AS BIGINT) FROM cast_b
+    UNION ALL SELECT 'edges/CREW', count(*),
+      CAST(COALESCE(sum(ok + sid + length(rel)), 0) AS BIGINT) FROM crew_rel
+    UNION ALL SELECT 'edges/AVAILABLE_ON', count(*),
+      CAST(COALESCE(sum(ok + p + length(t)), 0) AS BIGINT) FROM prov
+    UNION ALL SELECT 'edges/PART_OF', count(*),
+      CAST(COALESCE(sum(ok + cid), 0) AS BIGINT) FROM colls
+    UNION ALL SELECT 'edges/PRODUCED_BY', count(*),
+      CAST(COALESCE(sum(ok + ok % 10 + 1), 0) AS BIGINT) FROM m
+    UNION ALL SELECT 'edges/COMPANY_PART_OF', count(*),
+      CAST(COALESCE(sum(company_id + parent), 0) AS BIGINT)
+      FROM comp WHERE parent IS NOT NULL
+    """,
+    doc="full-pipeline graph parity (r7 verdict item #6): the reference's "
+    "top-level flow — raw nested movie docs -> clean_movie_details (C1) -> "
+    "plans.graph.build_movie_graph (flows/etl_flow.py:538-586: 8 node "
+    "labels, 9 edge types incl. the 11-department CREW fan-out, watch-"
+    "provider inversion, collection PART_OF, company PRODUCED_BY + parent "
+    "hierarchy) -> one (table, count, arithmetic-checksum) row per graph "
+    "table. Docs are synthesized deterministically from orders+lineitem "
+    "(cast=partkeys, crew=suppkeys incl. 2 unknown departments that must "
+    "drop, providers/genres/countries from orderkey residues) so the "
+    "oracle can re-derive every table relationally. clean_movies is "
+    "localCheckpoint-ed once so the 17 branch aggregates don't recompute "
+    "the doc-assembly join per branch",
+)
+def q_g2_full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql.types import ArrayType
+
+    from movie_etl_spark.operators.clean import clean_movie_details
+    from movie_etl_spark.plans.graph import build_movie_graph
+    from movie_etl_spark.schemas import PROVIDER_OFFER
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    cast_member = F.struct(
+        F.col("l_partkey").cast("int").alias("id"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("name"),
+        (F.col("l_partkey") % 4).cast("int").alias("gender"),
+        F.concat(F.lit("c"), F.col("l_linenumber").cast("string")).alias("character"),
+        F.col("l_linenumber").cast("int").alias("order"),
+    )
+    dept = F.element_at(
+        F.array(*[F.lit(d) for d in _G2_DEPTS]),
+        (((F.col("l_suppkey") + F.col("l_linenumber")) % 13) + 1).cast("int"),
+    )
+    crew_member = F.struct(
+        F.col("l_suppkey").cast("int").alias("id"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("name"),
+        (F.col("l_suppkey") % 4).cast("int").alias("gender"),
+        F.concat(F.lit("j"), F.col("l_linenumber").cast("string")).alias("job"),
+        dept.alias("department"),
+    )
+    credits_agg = li.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.collect_list(cast_member).alias("cast"),
+        F.collect_list(crew_member).alias("crew"),
+    )
+
+    ok = F.col("o_orderkey").cast("int")
+
+    def offer(mod: int):
+        return F.array(
+            F.struct(
+                ((ok % mod) + 1).cast("int").alias("provider_id"),
+                F.lit("prov").alias("provider_name"),
+            )
+        )
+
+    no_offers = F.lit(None).cast(ArrayType(PROVIDER_OFFER))
+    us = F.struct(
+        offer(3).alias("buy"), offer(4).alias("rent"), no_offers.alias("flatrate")
+    )
+    gb = F.struct(
+        no_offers.alias("buy"), no_offers.alias("rent"), offer(5).alias("flatrate")
+    )
+    wp = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(F.lit("US").alias("key"), us.alias("value")),
+                F.struct(F.lit("GB").alias("key"), gb.alias("value")),
+            ),
+            lambda e: (e["key"] == "US") | (ok % 2 == 1),
+        )
+    )
+
+    def id_name(idc):
+        return F.struct(idc.cast("int").alias("id"), F.lit("n").alias("name"))
+
+    raw = orders.join(credits_agg, ok == credits_agg.id).select(
+        ok.alias("id"),
+        F.col("o_orderpriority").alias("title"),
+        F.lit("synthetic overview").alias("overview"),
+        F.lit("2001-01-01").alias("release_date"),
+        F.lit(1.0).alias("popularity"),
+        ok.cast("long").alias("budget"),
+        (ok * 2).cast("long").alias("revenue"),
+        F.lit(90).alias("runtime"),
+        F.when(ok % 2 == 0, id_name(ok % 5)).alias("belongs_to_collection"),
+        F.array(id_name(ok % 7), id_name(ok % 11)).alias("genres"),
+        F.array(
+            F.struct(
+                ((ok % 10) + 1).cast("int").alias("id"),
+                F.lit("n").alias("name"),
+                F.lit("US").alias("origin_country"),
+            )
+        ).alias("production_companies"),
+        F.array(
+            *[
+                F.struct(
+                    F.concat(F.lit("C"), (ok % mod).cast("string")).alias("iso_3166_1"),
+                    F.lit("n").alias("name"),
+                )
+                for mod in (4, 6)
+            ]
+        ).alias("production_countries"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("L"), (ok % 5).cast("string")).alias("iso_639_1"),
+                F.lit("n").alias("english_name"),
+            )
+        ).alias("spoken_languages"),
+        F.struct(F.col("cast"), F.col("crew")).alias("credits"),
+        wp.alias("watch_providers"),
+        F.struct(
+            F.concat(F.lit("Q"), ok.cast("string")).alias("wikidata_id"),
+            F.concat(F.lit("tt"), ok.cast("string")).alias("imdb_id"),
+        ).alias("external_ids"),
+    )
+    # one materialization feeds all 17 branch aggregates
+    clean = clean_movie_details(raw).localCheckpoint()
+
+    companies = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("company_id"),
+        F.concat(F.lit("Comp"), F.col("id").cast("string")).alias("name"),
+        F.when(F.col("id") > 3, (F.col("id") % 3 + 1).cast("int")).alias(
+            "parent_company_id"
+        ),
+    )
+    graph = build_movie_graph(clean, companies=companies, reuse_shared=True)
+
+    def num(c: str):
+        return F.substring(F.col(c), 2, 12).cast("bigint")
+
+    big = lambda c: F.col(c).cast("bigint")  # noqa: E731
+    checks = {
+        "nodes/Movie": big("movie_id"),
+        "nodes/Genre": big("genre_id"),
+        "nodes/Language": num("language_id"),
+        "nodes/Country": num("country_id"),
+        "nodes/Person": big("person_id"),
+        "nodes/WatchProvider": big("provider_id"),
+        "nodes/Collection": big("collection_id"),
+        "nodes/Company": big("company_id"),
+        "edges/HAS_GENRE": big("head_id") + big("tail_id"),
+        "edges/HAS_LANGUAGE": big("head_id") + num("tail_id"),
+        "edges/PRODUCTION_COUNTRY": big("head_id") + num("tail_id"),
+        "edges/ACTED_IN": big("head_id") + big("tail_id"),
+        "edges/CREW": big("head_id") + big("tail_id") + F.length("rel_type"),
+        "edges/AVAILABLE_ON": big("head_id") + big("tail_id") + F.length("type"),
+        "edges/PART_OF": big("head_id") + big("tail_id"),
+        "edges/PRODUCED_BY": big("head_id") + big("tail_id"),
+        "edges/COMPANY_PART_OF": big("head_id") + big("tail_id"),
+    }
+    parts = [
+        graph[name].agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum(checks[name]), F.lit(0)).cast("bigint").alias("checksum"),
+        ).select(F.lit(name).alias("gtable"), "n_rows", "checksum")
+        for name in checks
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
 @register(
     "v3_ivf_top_k",
     """
@@ -4864,9 +5125,10 @@ def q_ts1_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MSB-first two-per-byte, zlib-compressed, and decoded back through "
     "sub-byte unpacking + palette lookup. The oracle re-derives exact "
     "pixels from the md5 hex digits (pixel = 17 * high-nibble), so a "
-    "single bit-unpack or PLTE-order error breaks the hash. Remaining "
-    "honest PNG limits: 16-bit depth, palette tRNS alpha, interlaced "
-    "palette",
+    "single bit-unpack or PLTE-order error breaks the hash. As of r8 "
+    "the PNG decoder has NO remaining layout gaps: 16-bit, palette "
+    "tRNS alpha, low-bit grayscale, and Adam7 interlace for all of "
+    "those are real, round-trip-tested paths (test_multimodal)",
 )
 def q_mm9_palette_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_etl_spark.operators.multimodal import (
@@ -4968,81 +5230,75 @@ def q_mm10_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- new this round (r7): never driver-verified -------------------------
-    "mm5_png_decode",
-    "gr2_pagerank_dangling",
-    "st7_stream_outer_join",
-    "v6_int8_rerank",
-    "ap3_approx_percentile",
-    "cc2_fingerprint_decontam",
-    "w4_interval_range_window",
-    "s8_python_datasource",
-    "f12_variant_json",
-    "mm6_perceptual_hash",
-    # -- changed this round: MUST re-verify (rotation policy) ---------------
-    "ap1_approx_count_distinct",  # upgraded rows-only -> full hash oracle
-    "gr1_pagerank",  # invariant deg join hoisted out of the loop
-    "z1_zorder_key",  # out-of-range raise_error guard added
-    "st3_stateful_counts",  # state now accumulates unrounded totals
-    "b1_bucketed_join",  # r6 stale-warehouse fix never got a driver row
-    # -- rotated-in cohort: every query whose newest driver-green row is
-    #    r5 (2 rounds stale after r7) — keeps the standing policy that no
-    #    query's latest green is older than 2 rounds ------------------------
-    "a2_distinct_agg",
-    "a3_rollup",
-    "a4_group_median",
-    "ap2_exact_percentile",
-    "c5_decode_map",
-    "cp1_quality_filter",
-    "dd1_exact_dedup",
-    "dd2_minhash_signatures",
-    "dd4_ngram_jaccard",
-    "dd5_simhash",
-    "f1_magnitude_parse",
-    "f2_score_scale",
-    "f3_regex_extract",
-    "f4_count_parsers",
-    "f6_edge_builder",
-    "f7_date_functions",
-    "f9_html_extract",
-    "hh1_heavy_hitters",
-    "j1_semi_join",
-    "j3_broadcast_dim_join",
-    "j5_fact_fact_join",
-    "p1_pivot",
-    "r1_explode_tokens",
-    "r4_group_collect",
-    "s5_seeded_dim_join",
-    "set2_intersect",
-    "st2_session_windows",
-    "t1_text_stats",
-    "t2_language_id",
-    "u1_udtf_ngrams",
-    "v1_brute_force_top_k",
-    "v3_ivf_top_k",
-    "w1_latest_order_per_customer",
-    "w2_running_sum",
-    # -- r6-green representative filling the 50-query window. Displaced
-    #    to r8 for slot math (10 new queries this round): the former reps
-    #    st5/dd3/g1 plus aged k7/mm2/o1/d1/d4 (each with a dedicated
-    #    pytest backstop: rollback cascade, frame fan-out,
-    #    TakeOrderedAndProject plan assert, keep_new anti-join and
-    #    insert_if_absent dedup unit tests).
-    #    Displaced veterans stay benched and selfchecked every round. ------
-    "s1_discover",
-    # -- r7b additions (gr3, gr4, d6, t7, mm7-mm10, w5, dd10, dq1, v7,
-    #    hll1, d7, a8, ts1 — 16 queries) sit BELOW the window on
-    #    purpose: the staleness rule ("no query's latest driver-green
-    #    older than 2 rounds") outranks the new-first rule when both
-    #    can't fit — displacing sixteen r5-aged veterans would make
-    #    them 3 rounds stale, while every r7b query is hash-green in
-    #    the committed SELFCHECK.json at BOTH sf0.01 and sf0.1 (the
-    #    local replica of the driver gate, machine-checked by
-    #    test_driver_priority_window_covers_unverified_queries) and
-    #    pytest-backed. They front-load the r8 window. -------------------
+    # -- r8 rotation (VERDICT r7 item #1). Window = 50 slots:
+    #    17 never-driver-verified (the 16 r7b additions + g2, new this
+    #    round), then the 8 r7-displaced veterans, then 25 of the 43
+    #    r6-green queries (oldest-green cohort; the other 18 stay
+    #    selfchecked and front-load r9 before they can reach 3-rounds
+    #    stale). Staleness after r8: nothing older than r6. -------------
+    # -- never driver-verified: r7b additions --------------------------
+    "gr3_bfs_distances",
+    "gr4_triangle_counts",
+    "d6_cdc_apply",
+    "t7_tfidf_top_terms",
+    "mm7_gif_decode",
+    "mm8_jpeg_roundtrip",
+    "mm9_palette_png",
+    "mm10_g711_audio",
+    "w5_event_funnel",
+    "dd10_fuzzy_pairs",
+    "dq1_quality_checks",
+    "v7_kmeans_clusters",
+    "hll1_mergeable_sketch",
+    "d7_incremental_agg",
+    "a8_spearman_corr",
+    "ts1_gap_fill_locf",
+    # -- new this round (r8) --------------------------------------------
+    "g2_full_graph_parity",
+    # -- r7-displaced veterans (latest driver-green r5/r6) --------------
+    "k7_rollback",
+    "mm2_frame_sampling",
+    "o1_top_k",
+    "d1_anti_join",
+    "d4_merge_dedup",
+    "st5_stream_stream_join",
+    "dd3_minhash_near_dups",
+    "g1_clean_explode_edges",
+    # -- r6-green rotation cohort (25 of 43; family-representative,
+    #    heaviest plans first pick) ------------------------------------
+    "a7_time_rollup",
+    "cc1_contamination_check",
+    "cp2_hash_split",
+    "cp6_temperature_mix",
+    "d5_scd2_merge",
+    "dd6_embedding_near_dups",
+    "dd7_dup_clusters",
+    "dd9_dedup_apply",
+    "j4_hierarchy_closure",
+    "j6_asof_join",
+    "j7_range_join",
+    "k8_incremental_watermark",
+    "mm1_multimodal_features",
+    "mm3_image_decode",
+    "mm4_audio_decode",
+    "pii1_pii_scrub",
+    "sk1_salted_hot_key_count",
+    "sk2_salted_skew_join",
+    "st1_windowed_counts",
+    "st4_streaming_dedup",
+    "st6_stream_static_join",
+    "t5_repetition_quality",
+    "t6_unigram_logprob",
+    "v2_lsh_top_k",
+    "v5_bm25_search",
+    # -- parked below the window (r9 front-load list): a1, a5, a6, bp1,
+    #    c1, cp3, cp4, cp5, dd8, f10, f11, s6, set1, t3, t4, v4, w3, x1
+    #    (all r6-green, all hash-green in SELFCHECK.json at both
+    #    sf0.01 and sf0.1; they become 3-rounds stale if r9 skips them,
+    #    so r9's window MUST lead with them per the rotation policy in
+    #    BASELINE.md). All r7-green queries are at most 2 rounds stale
+    #    through r9 and rotate after the parked cohort. ----------------
 ]
-
-
 def ordered_queries() -> dict[str, QueryDef]:
     """QUERIES re-keyed so DRIVER_PRIORITY names come first (registration
     order preserved within the remainder).  This is the dict the driver

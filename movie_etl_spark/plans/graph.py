@@ -62,6 +62,7 @@ def build_movie_graph(
     clean_movies: DataFrame,
     collections: DataFrame | None = None,
     companies: DataFrame | None = None,
+    reuse_shared: bool = False,
 ) -> dict[str, DataFrame]:
     """Assemble the node/edge table set. Returns a dict keyed by
     ``nodes/<Label>`` and ``edges/<REL_TYPE>``.
@@ -70,8 +71,18 @@ def build_movie_graph(
     their tail node table; fact-to-fact edges (ACTED_IN etc.) shuffle on
     the join key and AQE handles skew (one blockbuster movie with a
     10k-person crew is exactly the skewed-key case).
+
+    ``reuse_shared`` materializes (localCheckpoint) the two node tables
+    every edge build joins against — Movie and Person — so consumers
+    that execute MANY of the returned tables as separate actions (the
+    17-table full materialization; g2's parity sweep) don't re-run the
+    dedup-window lineage per action. At cluster scale the same role is
+    played by writing nodes first and reading them back for the edge
+    builds; leave False when only one or two tables will execute.
     """
     movies = movie_nodes(clean_movies)
+    if reuse_shared:
+        movies = movies.localCheckpoint()
     out: dict[str, DataFrame] = {"nodes/Movie": movies}
 
     genre_bridge = explode_bridge(clean_movies, "movie_id", "genre_ids", "genre_id")
@@ -98,6 +109,8 @@ def build_movie_graph(
     )
 
     persons = person_nodes(clean_movies)
+    if reuse_shared:
+        persons = persons.localCheckpoint()
     out["nodes/Person"] = persons
 
     acted = explode_cast(clean_movies).withColumnRenamed("character", "role")

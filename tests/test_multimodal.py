@@ -168,9 +168,30 @@ def test_decode_image_png_rejects_unsupported_and_corrupt():
         decode_image(png_with_ihdr(8, 3))
     with pytest.raises(ValueError, match="length mismatch"):
         decode_image(png_with_ihdr(8, 2, interlace=1))
-    # interlaced 16-bit is the remaining honest combination
-    with pytest.raises(NotImplementedError, match="interlaced 16-bit"):
+    # interlaced 16-bit is a REAL path now (r8): malformed data fails
+    # with ValueError like every other layout
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_image(png_with_ihdr(16, 2, interlace=1))
+    # off-spec (depth, color type) combinations are malformed input,
+    # not a scope gap
+    with pytest.raises(ValueError, match="invalid PNG bit_depth"):
+        decode_image(png_with_ihdr(4, 2))
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    depth16_palette = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"\x00" * 6)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="outside the spec set"):
+        decode_image(depth16_palette)
 
 
 def test_decode_images_operator_exact_stats(spark):
@@ -793,6 +814,55 @@ def test_jpeg_progressive_decodes_bit_identical_to_baseline():
     assert (prog == base).all()
 
 
+def test_jpeg_progressive_restart_markers():
+    """DRI + RSTn inside progressive scans (r7 ADVICE item): restart
+    boundaries byte-align, reset DC predictors and EOB runs, and must
+    decode BIT-identically to the same image without restarts — in
+    plain spectral-selection scans, DC-split scans, and AC
+    successive-approximation refinement scans (where the pending EOB
+    run must flush before each boundary)."""
+    import numpy as np
+
+    from movie_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(17)
+    for shape in ((4, 4), (12, 20, 3), (17, 9, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85))
+        for ri in (1, 2, 3, 7):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=85, restart_interval=ri)
+            )
+            assert (prog == base).all(), (shape, ri)
+    # DC split + AC successive approximation with restarts: the
+    # refinement scans' EOB-run buffering interacts with boundaries
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    for ri in (1, 2, 5):
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quality=85, dc_split=True, ac_sa_level=2,
+                restart_interval=ri,
+            )
+        )
+        assert (prog == base).all(), ri
+    # long EOB runs crossing would-be boundaries must split at them
+    flat = np.full((64, 64), 128, dtype=np.uint8)
+    flat[0, 0] = 131
+    assert (
+        decode_jpeg(
+            encode_jpeg_progressive(
+                flat, quality=85, ac_sa_level=1, restart_interval=3
+            )
+        )
+        == decode_jpeg(encode_jpeg(flat, quality=85))
+    ).all()
+
+
 def test_jpeg_progressive_successive_approximation_full():
     """FULL successive approximation: DC bit split + AC bit planes
     (1, 2, and 3 levels), dense EOB runs (smooth image) and long
@@ -891,6 +961,141 @@ def test_png_16bit_roundtrip_every_filter_and_channels():
             out = decode_image(encode_png(arr, filter_type=ftype))
             assert out.dtype == np.uint16
             assert (out == arr).all(), (channels, ftype)
+
+
+def test_png_interlaced_16bit_roundtrip():
+    """Adam7 + 16-bit (r7 verdict item #5): per-pass filter state with
+    bpp = channels*2 and big-endian sample pairs — exact uint16
+    round-trip for every filter type, channel count, and pass-tile
+    boundary size."""
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_png_interlaced,
+    )
+
+    rng = np.random.default_rng(11)
+    for channels in (1, 2, 3, 4):
+        for ftype in range(5):
+            for shape in ((1, 1), (5, 7), (8, 8), (17, 13)):
+                arr = rng.integers(0, 65536, (*shape, channels)).astype(
+                    np.uint16
+                )
+                out = decode_image(
+                    encode_png_interlaced(arr, filter_type=ftype)
+                )
+                assert out.dtype == np.uint16, (channels, ftype, shape)
+                assert (out == arr).all(), (channels, ftype, shape)
+
+
+def test_png_interlaced_palette_roundtrip():
+    """Adam7 + palette (r7 verdict item #5): sub-byte bit packing
+    restarts per pass scanline, then PLTE lookup (and tRNS alpha) on
+    the reassembled index grid — exact pixels at every depth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(12)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        for shape in ((1, 1), (5, 7), (8, 8), (17, 13), (20, 24)):
+            idx = rng.integers(0, n, shape).astype(np.int64)
+            out = decode_image(encode_png_palette(idx, pal, depth, interlace=True))
+            assert out.shape == (*shape, 3), (depth, shape)
+            assert (out == pal[idx]).all(), (depth, shape)
+    # interlaced palette + tRNS: alpha rides the same index grid
+    payload = bytearray(encode_png_palette(idx, pal, 8, interlace=True))
+    alpha = bytes(rng.integers(0, 256, pal.shape[0]).astype(np.uint8))
+    trns = struct.pack(">I", len(alpha)) + b"tRNS" + alpha
+    trns += struct.pack(">I", zlib.crc32(b"tRNS" + alpha) & 0xFFFFFFFF)
+    at = payload.index(b"IDAT") - 4
+    payload[at:at] = trns
+    out = decode_image(bytes(payload))
+    assert out.shape == (*idx.shape, 4)
+    assert (out[:, :, :3] == pal[idx]).all()
+    assert (out[:, :, 3] == np.frombuffer(alpha, dtype=np.uint8)[idx]).all()
+
+
+def test_png_low_bit_grayscale_roundtrip():
+    """1/2/4-bit grayscale (non-palette) PNG: sub-byte unpack + the
+    spec's exact-integer sample scaling, sequential and Adam7."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import decode_image
+
+    def encode_gray_lowbit(vals, depth, interlace):
+        # reuse the palette encoder's packing by patching color type:
+        # same sub-byte layout, no PLTE in the gray case
+        from movie_etl_spark.operators.multimodal import encode_png_palette
+
+        pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+        payload = bytearray(
+            encode_png_palette(vals, pal, depth, interlace=interlace)
+        )
+        # IHDR body starts at offset 16; color type byte is at 16+9
+        payload[16 + 9] = 0  # grayscale
+        ihdr_body = bytes(payload[16 : 16 + 13])
+        struct.pack_into(
+            ">I", payload, 16 + 13, zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF
+        )
+        # drop the PLTE chunk (12 + 3*2^depth bytes starting at 33)
+        plte_at = payload.index(b"PLTE") - 4
+        (plte_len,) = struct.unpack_from(">I", payload, plte_at)
+        del payload[plte_at : plte_at + 12 + plte_len]
+        return bytes(payload)
+
+    rng = np.random.default_rng(13)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for interlace in (False, True):
+            vals = rng.integers(0, 1 << depth, (9, 11)).astype(np.int64)
+            out = decode_image(encode_gray_lowbit(vals, depth, interlace))
+            assert out.shape == (9, 11, 1), (depth, interlace)
+            assert (out[:, :, 0] == vals * scale).all(), (depth, interlace)
+
+
+def test_sixteen_bit_png_through_stats_and_phash(spark):
+    """The decode_image contract (uint16 for 16-bit PNG) through the
+    range-relative consumers: exact integer stats in the native
+    0-65535 range, and perceptual hashes that equal the hashes of the
+    same image's high bytes (mean/gradient comparisons are invariant
+    under the monotone >>8 when low bytes don't flip an order) — here
+    pinned on a constructed image where they provably don't."""
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import (
+        decode_images,
+        encode_png,
+        perceptual_hash,
+    )
+
+    # values chosen so high-byte order == full-value order strictly
+    arr16 = (np.arange(16, dtype=np.uint16).reshape(4, 4) * 4096 + 7)[
+        :, :, None
+    ]
+    payload = encode_png(arr16.astype(np.uint16))
+    df = spark.createDataFrame(
+        [(1, payload)], "asset_id long, payload binary"
+    )
+    row = decode_images(df).collect()[0]
+    assert row.pixel_max == int(arr16.max()) > 255
+    assert row.pixel_min == int(arr16.min())
+    assert row.pixel_sum == int(arr16.sum(dtype=np.int64))
+    a16, d16 = perceptual_hash(arr16)
+    a8, d8 = perceptual_hash((arr16 >> 8).astype(np.uint8))
+    assert (a16, d16) == (a8, d8)
 
 
 def test_gif_interlaced_roundtrip():

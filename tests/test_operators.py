@@ -559,6 +559,21 @@ def test_apply_changelog_delete_resurrect_and_tiebreak(spark):
     assert out == {2: "d", 3: "f"}
 
 
+def test_apply_changelog_null_tombstone_flag_keeps_row(spark):
+    """A NULL delete flag is "not a delete" (Debezium upsert-only
+    convention), not three-valued-logic row loss — r7 ADVICE item."""
+    from movie_etl_spark.operators.upsert import apply_changelog
+
+    log = spark.createDataFrame(
+        [(1, 10, None, "a"), (2, 10, None, "b"), (2, 20, True, "c")],
+        "k long, seq long, _is_delete boolean, v string",
+    )
+    out = {
+        r.k: r.v for r in apply_changelog(log, ["k"], ["seq", "v"]).collect()
+    }
+    assert out == {1: "a"}
+
+
 def test_tfidf_top_terms_hand_computed(spark):
     """Rarer terms outrank common ones; ties break on term asc; tf
     scales the score; short tokens are dropped."""

@@ -176,7 +176,18 @@ def test_driver_priority_window_covers_unverified_queries():
     if os.path.exists(selfcheck_path):
         with open(selfcheck_path) as f:
             for name, row in json.load(f).items():
-                if row.get("hash_match"):
+                # r8 format: {query: {sf_label: outcome}} — parking a
+                # query below the driver window requires hash-green
+                # evidence at BOTH scales the driver gate mirrors
+                # (sf0.01 = the driver's compare scale, sf0.1 = the
+                # bench scale); a flat pre-r8 row (scale unknown after
+                # the overwrite bug) no longer counts.
+                if "hash_match" in row:
+                    continue  # legacy flat format
+                if all(
+                    row.get(sf, {}).get("hash_match")
+                    for sf in ("sf0.01", "sf0.1")
+                ):
                     selfchecked.add(name)
     never_verified = [n for n in QUERIES if n not in verified]
     missing = [

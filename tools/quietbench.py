@@ -1,0 +1,87 @@
+"""Quiet-host bench protocol (VERDICT r7 item #8): N back-to-back
+full-catalog runs, min-of-N per query, one lossless JSON.
+
+Every round so far has spent adjudication prose separating shared-host
+CPU contention (scans flat, parallel stages inflated, up to 2.3× swings
+between IDENTICAL runs — BASELINE.md r4/r6/r7 records) from genuine
+plan regressions. This pins the discriminator as a tool:
+
+  python tools/quietbench.py [N] [query ...]
+
+- runs ``bench.py`` N times (default 2) in fresh subprocesses
+  (fresh JVM each run — min-of-N therefore still contains one-time JIT
+  in run 1; the MIN across runs is the quiet-host estimate);
+- writes ``BENCH_QUIET.json``: per-query {min, runs:[...]} plus the
+  scan-flatness sentinels (s1/r1/o1) whose min/max spread measures host
+  noise independent of any plan change;
+- a query is a REGRESSION SUSPECT only if its min-of-N exceeds 2× its
+  recorded reference on a flat-scan protocol run (BASELINE.md rule);
+  anything that recovers in ANY run is contention by definition.
+
+The JSON is merged (per-query), so heavy queries can be re-pinned in a
+targeted run without losing the rest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SENTINELS = ("s1_discover", "r1_explode_tokens", "o1_top_k")
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    n = 2
+    if args and args[0].isdigit():
+        n = int(args[0])
+        args = args[1:]
+    queries = list(args)
+    # sentinels ride along on targeted runs so every protocol record
+    # carries its own host-noise measurement
+    run_set = queries + [s for s in SENTINELS if queries and s not in queries]
+
+    # full-name lossless dict: bench.py writes it to BENCH_SUBSET.json
+    # for targeted runs, BENCH_LOCAL.json for full-catalog runs
+    lossless = os.path.join(
+        REPO, "BENCH_SUBSET.json" if run_set else "BENCH_LOCAL.json"
+    )
+    per_run: list[dict[str, float]] = []
+    for i in range(n):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), *run_set],
+            capture_output=True, text=True, cwd=REPO, timeout=1800,
+        )
+        if not os.path.exists(lossless):
+            print(f"run {i}: no {lossless}\n{out.stderr[-500:]}")
+            return 1
+        with open(lossless) as f:
+            data = json.load(f)
+        full = data.get("queries") or {}
+        if not full:
+            print(f"run {i}: bench recorded no timings\n{out.stderr[-500:]}")
+            return 1
+        per_run.append(full)
+        print(f"run {i}: total={data.get('value')}s over {len(full)} queries")
+
+    record_path = os.path.join(REPO, "BENCH_QUIET.json")
+    record = {}
+    if os.path.exists(record_path):
+        with open(record_path) as f:
+            record = json.load(f)
+    names = sorted({k for r in per_run for k in r})
+    for name in names:
+        runs = [r[name] for r in per_run if name in r]
+        record[name] = {"min": min(runs), "runs": runs, "n": len(runs)}
+    with open(record_path, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    spread = {s: record[s]["runs"] for s in SENTINELS if s in record}
+    print(f"wrote {record_path}; sentinel spread: {json.dumps(spread)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
