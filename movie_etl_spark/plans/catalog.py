@@ -1876,14 +1876,24 @@ _G2_REL_CASE = """CASE didx
       SELECT CAST(o_orderkey AS INT) AS ok FROM orders
       WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o_orderkey)
     ),
+    li AS (
+      -- referential integrity: cast/crew exist only through a movie doc,
+      -- i.e. a lineitem whose order exists (the Spark side's inner join
+      -- of orders with the per-order credits aggregate). At sf<=0.1
+      -- every lineitem's order exists; the sf1 scale instrument
+      -- deliberately ships dangling lineitem replicas, which this
+      -- filter must drop exactly like the engine does.
+      SELECT l.* FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ),
     cast_b AS (
       SELECT DISTINCT CAST(l_orderkey AS INT) AS ok, CAST(l_partkey AS INT) AS pid
-      FROM lineitem
+      FROM li
     ),
     crew_raw AS (
       SELECT CAST(l_orderkey AS INT) AS ok, CAST(l_suppkey AS INT) AS sid,
              CAST((l_suppkey + l_linenumber) % 13 AS INT) AS didx
-      FROM lineitem
+      FROM li
     ),
     crew_rel AS (
       SELECT DISTINCT ok, sid, {_G2_REL_CASE} AS rel
