@@ -1339,15 +1339,22 @@ def q_gr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iteration template WITH dangling-mass redistribution: share =
 # (rank mass sitting on zero-out-degree nodes) // n_nodes, folded into
 # every node's damped term — the same exact integer recurrence
-# graph_algos.pagerank_fixed_point(redistribute_dangling=True) runs
+# graph_algos.pagerank_fixed_point(redistribute_dangling=True) runs.
+#
+# r{p} is referenced TWICE per iteration (i{n} and s{n}); every CTE is
+# declared MATERIALIZED because DuckDB's default inlining would
+# otherwise evaluate the r-chain 2^iterations times — at sf1 the
+# un-materialized form spilled 33+ GB of temp before running out of
+# disk (r8 sf1 oracle sweep finding), while the materialized form
+# evaluates each level once like the engine's BSP loop does.
 _PAGERANK_DANG_ITER_SQL = """
-i{n} AS (SELECT e.dst, sum(r.pr // d.deg) AS inc
+i{n} AS MATERIALIZED (SELECT e.dst, sum(r.pr // d.deg) AS inc
        FROM edges e JOIN r{p} r ON r.src = e.src JOIN deg d ON d.src = e.src
        GROUP BY e.dst),
-s{n} AS (SELECT coalesce(sum(CASE WHEN d.deg = 0 THEN r.pr END), 0)
+s{n} AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN d.deg = 0 THEN r.pr END), 0)
               // (SELECT count(*) FROM deg) AS share
        FROM r{p} r JOIN deg d ON d.src = r.src),
-r{n} AS (SELECT deg.src,
+r{n} AS MATERIALIZED (SELECT deg.src,
                CAST(150000 + (17 * (coalesce(i.inc, 0)
                                     + (SELECT share FROM s{n}))) // 20
                     AS BIGINT) AS pr
@@ -1357,7 +1364,7 @@ r{n} AS (SELECT deg.src,
 @register(
     "gr2_pagerank_dangling",
     """
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 AS src,
                       CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
       FROM lineitem
@@ -1366,12 +1373,12 @@ r{n} AS (SELECT deg.src,
       SELECT DISTINCT src AS id FROM edges
       UNION SELECT DISTINCT dst AS id FROM edges
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT n.id AS src, count(e.src) AS deg
       FROM nodes n LEFT JOIN edges e ON e.src = n.id
       GROUP BY n.id
     ),
-    r0 AS (SELECT src, CAST(1000000 AS BIGINT) AS pr FROM deg),"""
+    r0 AS MATERIALIZED (SELECT src, CAST(1000000 AS BIGINT) AS pr FROM deg),"""
     + ",".join(_PAGERANK_DANG_ITER_SQL.format(n=i, p=i - 1) for i in (1, 2, 3))
     + """
     SELECT src AS node_id, pr FROM r3
@@ -4788,7 +4795,7 @@ c{n} AS (
     """
     WITH vx AS (
       SELECT vec_id AS id,
-             list_transform(embedding,
+             list_transform(embedding::DOUBLE[],
                x -> CAST(round((x + 1) * 1000) AS BIGINT)) AS x
       FROM embeddings
     ),
@@ -4822,7 +4829,11 @@ c{n} AS (
     "dependent float means, last-ulp tie flips); integer arithmetic "
     "with smaller-cid tie-breaks makes every assignment and centroid "
     "bit-exact, so the unrolled recursive-SQL oracle (the gr1 "
-    "technique) matches exactly. Scale shape per iteration: centroids "
+    "technique) matches exactly. The oracle quantizes via "
+    "embedding::DOUBLE[] — DuckDB would otherwise evaluate (x+1)*1000 "
+    "in single-precision FLOAT while Spark promotes to DOUBLE, and the "
+    "r8 sf1 oracle sweep caught 77 elements whose round() flips between "
+    "the two precisions (visible only in sf1's sign-flipped replicas). Scale shape per iteration: centroids "
     "as ONE broadcast row, assignment a pure codegen array expression "
     "(corpus x k, no shuffle), update one groupBy with 64 columnar "
     "partial sums, empty clusters keep their centroid. This is the "

@@ -24,8 +24,10 @@ original yet not create cross-replica artifacts:
   pattern per replica. dot(s∘a, s∘b) == dot(a, b), so intra-replica
   cosine geometry (dd6/dd8/v3's subject) is preserved EXACTLY; cross-
   replica cosines are scrambled to noise.
-- ``events``: user_id offset (ts/value untouched — watermark and state
-  machinery see FACTOR× keys and rows).
+- ``events``: user_id AND event_id offset (ts/value untouched —
+  watermark and state machinery see FACTOR× keys and rows, and
+  at-least-once identities stay globally unique so streaming dedup
+  does not collapse replicas as redeliveries).
 - ``lineitem``: l_orderkey/l_partkey/l_suppkey offset per replica →
   gr1's bipartite graph becomes FACTOR disjoint replicas (FACTOR× nodes
   and edges, same degree distribution).
@@ -107,7 +109,14 @@ def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
             ),
         )
     if table == "events":
-        return _offset(df, "user_id", i, 1_000_000)
+        # BOTH keys must be disjoint per replica: user_id for watermark /
+        # state machinery (FACTOR× keys), and event_id because it is the
+        # at-least-once identity — replicas sharing event_ids are, by
+        # st4's dedup semantics, genuine duplicates, so the engine
+        # (correctly) collapsed them while the oracle's "original table"
+        # formulation assumed uniqueness (r8 sf1 oracle sweep finding).
+        df = _offset(df, "user_id", i, 1_000_000)
+        return _offset(df, "event_id", i, 10_000_000)
     # lineitem: disjoint graph + join keys per replica
     for c in ("l_orderkey", "l_partkey", "l_suppkey"):
         df = _offset(df, c, i, 10_000_000)
@@ -130,7 +139,7 @@ def main() -> None:
             out = out.unionByName(p)
         # one flat parquet dir per table (load_table reads dirs fine)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
-        print(f"{table}: x{factor} written", flush=True)
+        print(f"{table}: x{n} written", flush=True)
     spark.stop()
 
 
