@@ -289,6 +289,20 @@ def test_d6_cdc_apply_is_one_shuffle_no_join(spark):
 
 
 @needs_testdata
+def test_g2_full_graph_parity_plan_invariants(spark):
+    """The 17-branch graph-parity union must carry the graph build's
+    scale promises: dimension-side edge builds broadcast their tails,
+    nothing degenerates to a cartesian or nested-loop join, and no
+    Python stage appears (the whole pipeline is JVM-side)."""
+    plan = _plan(spark, "g2_full_graph_parity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
+
+
+@needs_testdata
 def test_t7_tfidf_broadcasts_df_and_stats(spark):
     """df table joins back by broadcast; the only nested-loop join is
     the benign 1-row corpus-stats crossJoin (same shape as v5/BM25)."""
