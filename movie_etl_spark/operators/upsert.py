@@ -61,8 +61,14 @@ def dedup_by_key(df: DataFrame, keys: list[str], order_col: str | None = None) -
 def rollback_key(df: DataFrame, key: str, values: list) -> DataFrame:
     """K7 — compensation: drop every row belonging to the rolled-back
     entity (utils/etl.py:87-120's cascading DELETE, as a filter that
-    rewrites the table without those keys)."""
-    return df.filter(~F.col(key).isin(values))
+    rewrites the table without those keys).
+
+    NULL keys survive: DELETE's keep-set is rows where the predicate is
+    not TRUE, and ``NULL IN (...)`` is NULL, so a cascading delete of
+    specific ids must not silently destroy NULL-keyed rows (same
+    three-valued-logic trap as apply_changelog's tombstone flag —
+    r7 ADVICE class)."""
+    return df.filter(~F.coalesce(F.col(key).isin(values), F.lit(False)))
 
 
 def scd2_apply(

@@ -59,6 +59,16 @@ def test_rollback_key(spark, kv):
     assert [r.k for r in out.collect()] == [2]
 
 
+def test_rollback_key_keeps_null_keys(spark):
+    """DELETE-by-id semantics: NULL-keyed rows are not TRUE matches of
+    the delete predicate and must survive the cascade."""
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k int, v string"
+    )
+    out = {(r.k, r.v) for r in rollback_key(df, "k", [1]).collect()}
+    assert out == {(None, "b"), (2, "c")}
+
+
 def test_build_edges_referential_integrity(spark):
     edges = spark.createDataFrame(
         [(1, 10, 5.0), (1, 99, 6.0), (77, 10, 7.0)], "h int, t int, w double"
