@@ -67,8 +67,11 @@ def rollback_key(df: DataFrame, key: str, values: list) -> DataFrame:
     not TRUE, and ``NULL IN (...)`` is NULL, so a cascading delete of
     specific ids must not silently destroy NULL-keyed rows (same
     three-valued-logic trap as apply_changelog's tombstone flag —
-    r7 ADVICE class)."""
-    return df.filter(~F.coalesce(F.col(key).isin(values), F.lit(False)))
+    r7 ADVICE class). Expressed as ``isNull OR NOT IN`` rather than a
+    coalesce because Or/IsNull/Not(In) are all parquet-pushable — the
+    coalesce form silently cost the scan its pushed filter
+    (PLAN_AUDIT k7 regression caught in r8)."""
+    return df.filter(F.col(key).isNull() | ~F.col(key).isin(values))
 
 
 def scd2_apply(
