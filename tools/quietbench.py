@@ -75,6 +75,11 @@ def main() -> int:
     names = sorted({k for r in per_run for k in r})
     for name in names:
         runs = [r[name] for r in per_run if name in r]
+        # UNION with prior protocol runs (keep the lossless history, up
+        # to a cap): min-of-N accumulates across invocations instead of
+        # each invocation resetting the record
+        prev = record.get(name, {}).get("runs", [])
+        runs = (prev + runs)[-12:]
         record[name] = {"min": min(runs), "runs": runs, "n": len(runs)}
     with open(record_path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
