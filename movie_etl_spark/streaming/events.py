@@ -10,6 +10,15 @@ prefect.yaml:52-56). The engine subsumes it two ways:
 2. Watermarking bounds state for late data at 100 TB/day event rates:
    state per (window x event_type) only, dropped once the watermark
    passes — no unbounded driver state.
+
+State-store backend at production scale: the tests and catalog run the
+default in-memory (HDFS-backed) provider, which is the fast choice for
+local availableNow batches; a real deployment whose keyed state exceeds
+executor heap (stream-stream joins over high-cardinality keys, long
+watermarks) should set ``spark.sql.streaming.stateStore.providerClass``
+to the bundled RocksDB provider — state spills to local disk with
+incremental checkpointing instead of OOMing an executor. Nothing in
+these operators assumes a backend; the conf is deployment-level.
 """
 
 from __future__ import annotations
