@@ -4899,7 +4899,7 @@ def _hll_oracle_sql(p: int = 6) -> str:
       FROM orders GROUP BY 1
     )
     SELECT e.grp AS o_orderpriority,
-           e.registers,
+           array_to_string(e.registers, ',') AS registers,
            round(CASE WHEN e.raw <= {2.5 * m} AND e.zeros > 0
                       THEN {float(m)} * ln({float(m)} / e.zeros)
                       ELSE e.raw END, 4) AS est,
@@ -4942,7 +4942,13 @@ def q_hll1_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(F.col("registers"), p=6)
     return sk.join(exact, "o_orderpriority").select(
         "o_orderpriority",
-        "registers",
+        # Serialized, not raw array<int>: the driver's pandas
+        # canonicalizer sort_values-hashes every column, and Python
+        # lists are unhashable (r8's one red row). Register order is
+        # positional (b = 0..m-1), so a plain comma join is canonical.
+        F.concat_ws(",", F.col("registers").cast("array<string>")).alias(
+            "registers"
+        ),
         est.alias("est"),
         "exact_cnt",
         (F.abs(est - F.col("exact_cnt")) <= 0.25 * F.col("exact_cnt")).alias(
@@ -5251,74 +5257,76 @@ def q_mm10_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- r8 rotation (VERDICT r7 item #1). Window = 50 slots:
-    #    17 never-driver-verified (the 16 r7b additions + g2, new this
-    #    round), then the 8 r7-displaced veterans, then 25 of the 43
-    #    r6-green queries (oldest-green cohort; the other 18 stay
-    #    selfchecked and front-load r9 before they can reach 3-rounds
-    #    stale). Staleness after r8: nothing older than r6. -------------
-    # -- never driver-verified: r7b additions --------------------------
-    "gr3_bfs_distances",
-    "gr4_triangle_counts",
-    "d6_cdc_apply",
-    "t7_tfidf_top_terms",
-    "mm7_gif_decode",
-    "mm8_jpeg_roundtrip",
-    "mm9_palette_png",
-    "mm10_g711_audio",
-    "w5_event_funnel",
-    "dd10_fuzzy_pairs",
-    "dq1_quality_checks",
-    "v7_kmeans_clusters",
+    # -- r9 rotation (VERDICT r8 item #2). Window = 50 slots:
+    #    the 18 parked r6-green queries lead (they hit the 2-round
+    #    staleness bound — skipping them now would make them 3 rounds
+    #    stale, a policy violation), then hll1's retry (r8's one red
+    #    row, output contract fixed: registers now concat_ws-serialized
+    #    on both sides), then 31 of the 50 r7-green queries
+    #    (alphabetical — all equally aged; deterministic pick so the
+    #    r10 front-load list below is mechanical). Staleness after r9:
+    #    nothing whose latest driver-green predates r7. ----------------
+    # -- parked r6-green cohort (MUST lead per BASELINE.md rotation) ---
+    "a1_pricing_summary",
+    "a5_cube",
+    "a6_grouping_sets",
+    "bp1_boilerplate_lines",
+    "c1_sentinel_project",
+    "cp3_pack_sequences",
+    "cp4_length_buckets",
+    "cp5_stratified_sample",
+    "dd8_semantic_clusters",
+    "f10_json_props",
+    "f11_url_extract",
+    "s6_jsonl_round_trip",
+    "set1_except",
+    "t3_winnowing_fingerprints",
+    "t4_bpe_token_count",
+    "v4_embedding_quantize",
+    "w3_event_gaps",
+    "x1_throttled_fetch",
+    # -- r8 red-row retry (fix: catalog.py q_hll1 / _hll_oracle_sql) ---
     "hll1_mergeable_sketch",
-    "d7_incremental_agg",
-    "a8_spearman_corr",
-    "ts1_gap_fill_locf",
-    # -- new this round (r8) --------------------------------------------
-    "g2_full_graph_parity",
-    # -- r7-displaced veterans (latest driver-green r5/r6) --------------
-    "k7_rollback",
-    "mm2_frame_sampling",
-    "o1_top_k",
-    "d1_anti_join",
-    "d4_merge_dedup",
-    "st5_stream_stream_join",
-    "dd3_minhash_near_dups",
-    "g1_clean_explode_edges",
-    # -- r6-green rotation cohort (25 of 43; family-representative,
-    #    heaviest plans first pick) ------------------------------------
-    "a7_time_rollup",
-    "cc1_contamination_check",
-    "cp2_hash_split",
-    "cp6_temperature_mix",
-    "d5_scd2_merge",
-    "dd6_embedding_near_dups",
-    "dd7_dup_clusters",
-    "dd9_dedup_apply",
-    "j4_hierarchy_closure",
-    "j6_asof_join",
-    "j7_range_join",
-    "k8_incremental_watermark",
-    "mm1_multimodal_features",
-    "mm3_image_decode",
-    "mm4_audio_decode",
-    "pii1_pii_scrub",
-    "sk1_salted_hot_key_count",
-    "sk2_salted_skew_join",
-    "st1_windowed_counts",
-    "st4_streaming_dedup",
-    "st6_stream_static_join",
-    "t5_repetition_quality",
-    "t6_unigram_logprob",
-    "v2_lsh_top_k",
-    "v5_bm25_search",
-    # -- parked below the window (r9 front-load list): a1, a5, a6, bp1,
-    #    c1, cp3, cp4, cp5, dd8, f10, f11, s6, set1, t3, t4, v4, w3, x1
-    #    (all r6-green, all hash-green in SELFCHECK.json at both
-    #    sf0.01 and sf0.1; they become 3-rounds stale if r9 skips them,
-    #    so r9's window MUST lead with them per the rotation policy in
-    #    BASELINE.md). All r7-green queries are at most 2 rounds stale
-    #    through r9 and rotate after the parked cohort. ----------------
+    # -- r7-green rotation cohort (31 of 50, alphabetical) -------------
+    "a2_distinct_agg",
+    "a3_rollup",
+    "a4_group_median",
+    "ap1_approx_count_distinct",
+    "ap2_exact_percentile",
+    "ap3_approx_percentile",
+    "b1_bucketed_join",
+    "c5_decode_map",
+    "cc2_fingerprint_decontam",
+    "cp1_quality_filter",
+    "dd1_exact_dedup",
+    "dd2_minhash_signatures",
+    "dd4_ngram_jaccard",
+    "dd5_simhash",
+    "f12_variant_json",
+    "f1_magnitude_parse",
+    "f2_score_scale",
+    "f3_regex_extract",
+    "f4_count_parsers",
+    "f6_edge_builder",
+    "f7_date_functions",
+    "f9_html_extract",
+    "gr1_pagerank",
+    "gr2_pagerank_dangling",
+    "hh1_heavy_hitters",
+    "j1_semi_join",
+    "j3_broadcast_dim_join",
+    "j5_fact_fact_join",
+    "mm5_png_decode",
+    "mm6_perceptual_hash",
+    "p1_pivot",
+    # -- parked below the window (r10 front-load list): the remaining
+    #    19 r7-green queries — r1, r4, s1, s5, s8, set2, st2, st3, st7,
+    #    t1, t2, u1, v1, v3, v6, w1, w2, w4, z1. After r9 they are
+    #    exactly 2 rounds stale (allowed) and MUST lead r10's window
+    #    per the rotation policy in BASELINE.md; all carry hash-green
+    #    SELFCHECK.json rows at sf0.01 and sf0.1. The 49 r8-green
+    #    queries rotate after them (at most 2 rounds stale through
+    #    r10). ---------------------------------------------------------
 ]
 def ordered_queries() -> dict[str, QueryDef]:
     """QUERIES re-keyed so DRIVER_PRIORITY names come first (registration

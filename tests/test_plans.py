@@ -303,6 +303,36 @@ def test_g2_full_graph_parity_plan_invariants(spark):
 
 
 @needs_testdata
+def test_all_query_outputs_are_atomic_columns(spark):
+    """Driver output contract: the driver's pandas canonicalizer
+    sort_values-hashes every top-level column, and Python lists/dicts
+    are unhashable — a raw array/map/struct column passes this repo's
+    own string-canonicalizing oracle compare yet crashes the real gate
+    (r8's hll1_mergeable_sketch, the round's one red row). Any query
+    emitting nested data must serialize it (concat_ws / to_json), as
+    r4_group_collect and (since r9) hll1 do. Walk EVERY registered
+    query's output schema and reject non-atomic top-level columns."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from movie_etl_spark.operators.dedup import release_indexes
+    from movie_etl_spark.session import release_caches
+
+    offenders = []
+    for name, qd in QUERIES.items():
+        df = qd.fn(spark, TESTDATA_SF0001)
+        offenders.extend(
+            (name, f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        )
+    release_indexes()
+    release_caches()
+    assert not offenders, (
+        f"queries whose output the driver cannot canonicalize: {offenders}"
+    )
+
+
+@needs_testdata
 def test_t7_tfidf_broadcasts_df_and_stats(spark):
     """df table joins back by broadcast; the only nested-loop join is
     the benign 1-row corpus-stats crossJoin (same shape as v5/BM25)."""

@@ -57,6 +57,21 @@ def frame_digest(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
     return h, lines
 
 
+def driver_canon_probe(cols: list[str], rows: list[tuple]) -> None:
+    """Replicate the DRIVER's canonicalizer exactly: the real gate loads
+    each result into pandas and calls ``sort_values`` over every column,
+    which factorize-hashes object columns — a top-level list/dict value
+    raises ``TypeError: unhashable type`` there (how r8's
+    hll1_mergeable_sketch reached its first driver exposure red while
+    this replica's own canon() happily stringified the list for four
+    scales). Run the same pandas sort on both frames so a non-hashable
+    output fails HERE first. Raises on divergence; returns None."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf.sort_values(by=sorted(cols))  # TypeError on unhashable columns
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -117,6 +132,13 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        for side, c, r in (("spark", cols, rows), ("oracle", ocols, orows)):
+            try:
+                driver_canon_probe(c, r)
+            except Exception as e:
+                problems.append(
+                    f"driver-canonicalizer probe ({side}): {str(e)[:150]}"
+                )
         if len(rows) != len(orows):
             problems.append(f"rowcount spark={len(rows)} oracle={len(orows)}")
         if sorted(cols) != sorted(ocols):
