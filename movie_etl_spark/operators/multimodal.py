@@ -261,16 +261,47 @@ def _png_index_grid(
     return idx
 
 
+def _png_colorkey_alpha(
+    img: np.ndarray, trns: bytes, color_type: int, bit_depth: int
+) -> np.ndarray:
+    """tRNS on gray (color type 0) / truecolor (2): the chunk holds ONE
+    sample value (2-byte big-endian fields, in the image's ORIGINAL bit
+    depth scale); pixels equal to it decode fully transparent, all
+    others opaque. Appends the alpha channel in the array's dtype
+    (uint8 → 255 opaque, uint16 → 65535)."""
+    if color_type == 0:
+        if len(trns) < 2:
+            raise ValueError("malformed gray tRNS chunk")
+        (key,) = struct.unpack(">H", trns[:2])
+        if bit_depth < 8:
+            # low-bit gray was scaled to 0..255 on decode — scale the
+            # key the same way (255/(2^d-1) is exact)
+            key *= 255 // ((1 << bit_depth) - 1)
+        mask = img[:, :, 0] == key
+    else:
+        if len(trns) < 6:
+            raise ValueError("malformed truecolor tRNS chunk")
+        r, g, b = struct.unpack(">HHH", trns[:6])
+        mask = (
+            (img[:, :, 0] == r) & (img[:, :, 1] == g) & (img[:, :, 2] == b)
+        )
+    opaque = 255 if img.dtype == np.uint8 else 65535
+    alpha = np.where(mask, 0, opaque).astype(img.dtype)
+    return np.concatenate([img, alpha[:, :, None]], axis=2)
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """PNG via stdlib ``zlib``: signature + CRC-verified chunk walk,
     IHDR validation, concatenated-IDAT inflate, per-scanline unfilter
     (types 0-4: None/Sub/Up/Average/Paeth). Supports 8-bit and 16-bit
     gray / gray+alpha / RGB / RGBA (16-bit returns uint16 — see
     ``decode_image``'s contract), PALETTE images at bit depth 1/2/4/8
-    (PLTE lookup -> RGB, tRNS -> per-entry alpha), and Adam7
-    INTERLACE for every one of those layouts (7-pass deinterlace with
-    per-pass filter state; sub-byte bit packing and 2-byte samples
-    both restart per pass scanline). No remaining
+    (PLTE lookup -> RGB, tRNS -> per-entry alpha), tRNS COLORKEY
+    transparency on gray/truecolor images (single-sample chunk ->
+    matching pixels decode alpha 0, appended in the image's dtype),
+    and Adam7 INTERLACE for every one of those layouts (7-pass
+    deinterlace with per-pass filter state; sub-byte bit packing and
+    2-byte samples both restart per pass scanline). No remaining
     NotImplementedError combinations — unknown color types / bit
     depths outside the spec grid raise with the offending values."""
     import zlib
@@ -316,6 +347,14 @@ def _decode_png(payload: bytes) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
+
+    def _finish(img: np.ndarray) -> np.ndarray:
+        # colorkey transparency for gray/truecolor (the palette path
+        # applies its own per-entry tRNS table below)
+        if trns is not None and color_type in (0, 2):
+            return _png_colorkey_alpha(img, trns, color_type, bit_depth)
+        return img
+
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG without a PLTE chunk")
@@ -342,7 +381,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
             rows, end = _png_unfilter(raw, 0, height, stride, channels * 2)
             if end != len(raw):
                 raise ValueError("PNG pixel data length mismatch")
-            return (
+            return _finish(
                 np.frombuffer(rows.tobytes(), dtype=">u2")
                 .reshape(height, width, channels)
                 .astype(np.uint16)
@@ -366,13 +405,15 @@ def _decode_png(payload: bytes) -> np.ndarray:
             )
         if pos2 != len(raw):
             raise ValueError("PNG pixel data length mismatch")
-        return out16
+        return _finish(out16)
     if color_type == 0 and bit_depth in (1, 2, 4):
         # low-bit grayscale: same sub-byte grid as palette, then the
         # spec's sample scaling (255/(2^d-1) is an exact integer)
         scale = 255 // ((1 << bit_depth) - 1)
         idx = _png_index_grid(raw, width, height, bit_depth, interlace)
-        return (idx.astype(np.uint16) * scale).astype(np.uint8)[:, :, None]
+        return _finish(
+            (idx.astype(np.uint16) * scale).astype(np.uint8)[:, :, None]
+        )
     if bit_depth != 8 or color_type not in _PNG_CHANNELS:
         # the full legal PNG grid is covered above; anything else is a
         # malformed (depth, color type) combination per the spec table
@@ -386,7 +427,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
         out, end = _png_unfilter(raw, 0, height, stride, channels)
         if end != len(raw):
             raise ValueError("PNG pixel data length mismatch")
-        return out.reshape(height, width, channels)
+        return _finish(out.reshape(height, width, channels))
     # Adam7: seven independently filtered sub-images, concatenated in
     # one zlib stream; scatter each pass back onto its grid
     out = np.zeros((height, width, channels), dtype=np.uint8)
@@ -400,7 +441,7 @@ def _decode_png(payload: bytes) -> np.ndarray:
         out[y0::dy, x0::dx, :] = rows.reshape(ph, pw, channels)
     if pos != len(raw):
         raise ValueError("PNG pixel data length mismatch")
-    return out
+    return _finish(out)
 
 
 def _filter_scanline(

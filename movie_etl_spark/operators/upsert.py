@@ -70,7 +70,19 @@ def rollback_key(df: DataFrame, key: str, values: list) -> DataFrame:
     r7 ADVICE class). Expressed as ``isNull OR NOT IN`` rather than a
     coalesce because Or/IsNull/Not(In) are all parquet-pushable — the
     coalesce form silently cost the scan its pushed filter
-    (PLAN_AUDIT k7 regression caught in r8)."""
+    (PLAN_AUDIT k7 regression caught in r8).
+
+    A ``None`` inside ``values`` is rejected: ``x IN (…, NULL)`` is
+    NULL for every non-matching x, which would flip the NOT-IN branch
+    to NULL and silently delete every non-null-keyed row — the exact
+    opposite of this function's keep-NULLs contract. Callers deleting
+    NULL-keyed rows should filter ``isNull`` explicitly."""
+    if any(v is None for v in values):
+        raise ValueError(
+            "rollback_key: None in values — NULL IN (...) is three-valued "
+            "and would drop every non-matching row; delete NULL-keyed "
+            "rows with an explicit isNull filter instead"
+        )
     return df.filter(F.col(key).isNull() | ~F.col(key).isin(values))
 
 

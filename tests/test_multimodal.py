@@ -1112,3 +1112,67 @@ def test_gif_interlaced_roundtrip():
         assert (
             _decode_gif(encode_gif(idx, gray, interlace=True)) == gray[idx]
         ).all(), (h, w)
+
+
+def test_png_colorkey_trns_gray_and_truecolor():
+    """tRNS on NON-palette PNGs (color types 0/2) is a single colorkey
+    sample: matching pixels decode alpha 0, everything else opaque, in
+    the image's dtype (r8 ADVICE: this path was silently ignored)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from movie_etl_spark.operators.multimodal import decode_image, encode_png
+
+    def inject_trns(payload: bytes, body: bytes) -> bytes:
+        buf = bytearray(payload)
+        chunk = struct.pack(">I", len(body)) + b"tRNS" + body
+        chunk += struct.pack(">I", zlib.crc32(b"tRNS" + body) & 0xFFFFFFFF)
+        at = buf.index(b"IDAT") - 4
+        buf[at:at] = chunk
+        return bytes(buf)
+
+    # 8-bit gray: key 7 transparent, everything else opaque
+    gray = np.array([[7, 8], [9, 7]], dtype=np.uint8)[:, :, None]
+    out = decode_image(inject_trns(encode_png(gray), struct.pack(">H", 7)))
+    assert out.shape == (2, 2, 2)
+    assert (out[:, :, 0] == gray[:, :, 0]).all()
+    assert (out[:, :, 1] == [[0, 255], [255, 0]]).all()
+
+    # 8-bit truecolor: ALL THREE samples must match for transparency
+    rgb = np.array(
+        [[[1, 2, 3], [1, 2, 4]], [[9, 2, 3], [1, 2, 3]]], dtype=np.uint8
+    )
+    out = decode_image(
+        inject_trns(encode_png(rgb), struct.pack(">HHH", 1, 2, 3))
+    )
+    assert out.shape == (2, 2, 4)
+    assert (out[:, :, :3] == rgb).all()
+    assert (out[:, :, 3] == [[0, 255], [255, 0]]).all()
+
+    # 16-bit gray: key and opaque value live in the uint16 range
+    g16 = np.array([[700, 65535]], dtype=np.uint16)[:, :, None]
+    out = decode_image(inject_trns(encode_png(g16), struct.pack(">H", 700)))
+    assert out.dtype == np.uint16
+    assert (out[:, :, 1] == [[0, 65535]]).all()
+
+    # low-bit gray: the key is in ORIGINAL depth units, the decoded
+    # samples are scaled to 0..255 — key 1 at depth 2 means pixel 85
+    from movie_etl_spark.operators.multimodal import encode_png_palette
+
+    vals = np.array([[0, 1], [2, 3]], dtype=np.int64)
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    payload = bytearray(encode_png_palette(vals, pal, 2))
+    payload[16 + 9] = 0  # color type -> grayscale
+    ihdr_body = bytes(payload[16 : 16 + 13])
+    struct.pack_into(
+        ">I", payload, 16 + 13, zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF
+    )
+    plte_at = payload.index(b"PLTE") - 4
+    (plte_len,) = struct.unpack_from(">I", payload, plte_at)
+    del payload[plte_at : plte_at + 12 + plte_len]
+    out = decode_image(inject_trns(bytes(payload), struct.pack(">H", 1)))
+    assert out.shape == (2, 2, 2)
+    assert (out[:, :, 0] == [[0, 85], [170, 255]]).all()
+    assert (out[:, :, 1] == [[255, 0], [255, 255]]).all()

@@ -69,6 +69,15 @@ def test_rollback_key_keeps_null_keys(spark):
     assert out == {(None, "b"), (2, "c")}
 
 
+def test_rollback_key_rejects_null_in_values(spark):
+    """A None inside the delete list would make ~isin NULL for every
+    non-matching key (three-valued IN) and silently delete them all —
+    reject it loudly instead."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    with pytest.raises(ValueError, match="None in values"):
+        rollback_key(df, "k", [1, None])
+
+
 def test_build_edges_referential_integrity(spark):
     edges = spark.createDataFrame(
         [(1, 10, 5.0), (1, 99, 6.0), (77, 10, 7.0)], "h int, t int, w double"

@@ -49,12 +49,29 @@ def main() -> int:
     lossless = os.path.join(
         REPO, "BENCH_SUBSET.json" if run_set else "BENCH_LOCAL.json"
     )
-    per_run: list[dict[str, float]] = []
+    record_path = os.path.join(REPO, "BENCH_QUIET.json")
+    completed = 0
     for i in range(n):
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), *run_set],
-            capture_output=True, text=True, cwd=REPO, timeout=1800,
-        )
+        # a committed BENCH_* file from an earlier session would be
+        # silently re-read as this run's timings if bench.py crashes —
+        # remove it first so a crash is a crash, not a stale record
+        try:
+            os.remove(lossless)
+        except FileNotFoundError:
+            pass
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), *run_set],
+                capture_output=True, text=True, cwd=REPO, timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"run {i}: bench.py exceeded 1800s — "
+                  f"keeping the {completed} completed run(s)")
+            break
+        if out.returncode != 0:
+            print(f"run {i}: bench.py exited {out.returncode}\n"
+                  f"{out.stderr[-500:]}")
+            return 1
         if not os.path.exists(lossless):
             print(f"run {i}: no {lossless}\n{out.stderr[-500:]}")
             return 1
@@ -64,28 +81,36 @@ def main() -> int:
         if not full:
             print(f"run {i}: bench recorded no timings\n{out.stderr[-500:]}")
             return 1
-        per_run.append(full)
+        # merge THIS run immediately (mirroring selfcheck's per-query
+        # merge): a timeout or crash in run k must not discard runs 0..k-1
+        _merge_run(record_path, full)
+        completed += 1
         print(f"run {i}: total={data.get('value')}s over {len(full)} queries")
 
-    record_path = os.path.join(REPO, "BENCH_QUIET.json")
+    if not completed:
+        return 1
+    with open(record_path) as f:
+        record = json.load(f)
+    spread = {s: record[s]["runs"] for s in SENTINELS if s in record}
+    print(f"wrote {record_path}; sentinel spread: {json.dumps(spread)}")
+    return 0
+
+
+def _merge_run(record_path: str, timings: dict[str, float]) -> None:
+    """UNION one run's timings with the prior protocol history (capped):
+    min-of-N accumulates across invocations instead of each invocation
+    resetting the record."""
     record = {}
     if os.path.exists(record_path):
         with open(record_path) as f:
             record = json.load(f)
-    names = sorted({k for r in per_run for k in r})
-    for name in names:
-        runs = [r[name] for r in per_run if name in r]
-        # UNION with prior protocol runs (keep the lossless history, up
-        # to a cap): min-of-N accumulates across invocations instead of
-        # each invocation resetting the record
-        prev = record.get(name, {}).get("runs", [])
-        runs = (prev + runs)[-12:]
+    for name, sec in timings.items():
+        runs = (record.get(name, {}).get("runs", []) + [sec])[-12:]
         record[name] = {"min": min(runs), "runs": runs, "n": len(runs)}
-    with open(record_path, "w") as f:
+    tmp = record_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
-    spread = {s: record[s]["runs"] for s in SENTINELS if s in record}
-    print(f"wrote {record_path}; sentinel spread: {json.dumps(spread)}")
-    return 0
+    os.replace(tmp, record_path)
 
 
 if __name__ == "__main__":

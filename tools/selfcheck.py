@@ -179,25 +179,31 @@ def _merge_record(sf_dir: str, outcomes: dict[str, dict]) -> None:
     for queries parked below the driver's 50-slot window.  Called after
     EVERY query (atomic rename), so a timed-out sweep keeps the rows it
     completed."""
+    import fcntl
     import json as _json
 
     sf_label = os.path.basename(os.path.normpath(sf_dir)) or sf_dir
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     record_path = os.path.join(repo_root, "SELFCHECK.json")
-    record = {}
-    if os.path.exists(record_path):
-        with open(record_path) as f:
-            record = _json.load(f)
-    for qname, row in outcomes.items():
-        prev = record.get(qname)
-        if not isinstance(prev, dict) or (prev and "hash_match" in prev):
-            prev = {}  # drop pre-r8 flat-format rows: scale unknown
-        prev[sf_label] = row
-        record[qname] = prev
-    tmp = record_path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(record, f, indent=1, sort_keys=True)
-    os.replace(tmp, record_path)
+    # flock serializes the read-modify-write: concurrent sweeps at two
+    # scales (the workflow the nested sf-label format exists for) would
+    # otherwise drop each other's records despite the atomic rename
+    with open(record_path + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        record = {}
+        if os.path.exists(record_path):
+            with open(record_path) as f:
+                record = _json.load(f)
+        for qname, row in outcomes.items():
+            prev = record.get(qname)
+            if not isinstance(prev, dict) or (prev and "hash_match" in prev):
+                prev = {}  # drop pre-r8 flat-format rows: scale unknown
+            prev[sf_label] = row
+            record[qname] = prev
+        tmp = record_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(record, f, indent=1, sort_keys=True)
+        os.replace(tmp, record_path)
 
 
 if __name__ == "__main__":
