@@ -1886,10 +1886,11 @@ _G2_REL_CASE = """CASE didx
     li AS (
       -- referential integrity: cast/crew exist only through a movie doc,
       -- i.e. a lineitem whose order exists (the Spark side's inner join
-      -- of orders with the per-order credits aggregate). At sf<=0.1
-      -- every lineitem's order exists; the sf1 scale instrument
-      -- deliberately ships dangling lineitem replicas, which this
-      -- filter must drop exactly like the engine does.
+      -- of orders with the per-order credits aggregate). The filter
+      -- mirrors the ENGINE's semi-join semantics — since r9 the sf1
+      -- instrument replicates orders too, so no shipped scale actually
+      -- dangles, but an oracle must copy the engine's join semantics,
+      -- not the data's incidental integrity (r8 instrument lesson).
       SELECT l.* FROM lineitem l
       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     ),

@@ -31,6 +31,15 @@ original yet not create cross-replica artifacts:
 - ``lineitem``: l_orderkey/l_partkey/l_suppkey offset per replica →
   gr1's bipartite graph becomes FACTOR disjoint replicas (FACTOR× nodes
   and edges, same degree distribution).
+- ``orders``: o_orderkey offset with the SAME 10M step as lineitem's
+  l_orderkey, so every lineitem replica's order exists (r8 shipped
+  dangling lineitem replicas, which forced every fact-derived oracle to
+  carry the engine's referential-existence filter — the g2 divergence;
+  VERDICT r8 item #7). o_custkey is NOT offset: customer does not
+  replicate, so orders must keep pointing at real customers (each
+  customer simply carries FACTOR× orders — a load increase, not a
+  semantics change, and distinct-customer contracts like hll1/ap1 hold
+  unchanged on both engine and oracle).
 - every other table: plain copy (dims don't need to scale).
 
 Replica 0 is byte-identical to the source, so sf_factor=1 is a no-op
@@ -69,8 +78,15 @@ def _offset(df: DataFrame, col: str, i: int, step: int) -> DataFrame:
 
 def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
     df = load_table(spark, src, table)
-    if i == 0 or table not in ("documents", "embeddings", "events", "lineitem"):
+    if i == 0 or table not in (
+        "documents", "embeddings", "events", "lineitem", "orders"
+    ):
         return df
+    if table == "orders":
+        # same step as lineitem's l_orderkey: replica k's lineitems find
+        # replica k's orders, nothing dangles; custkey untouched (see
+        # module doc)
+        return _offset(df, "o_orderkey", i, 10_000_000)
     if table == "documents":
         df = _offset(df, "doc_id", i, 1_000_000)
         # LENGTH-PRESERVING bijective rename: per-character Caesar shift
@@ -128,7 +144,7 @@ def main() -> None:
     spark = get_spark("scale-up")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(dst, exist_ok=True)
-    scaled = {"documents", "embeddings", "events", "lineitem"}
+    scaled = {"documents", "embeddings", "events", "lineitem", "orders"}
     for table in TABLES:
         if not os.path.exists(os.path.join(src, f"{table}.parquet")):
             continue
