@@ -318,15 +318,19 @@ def test_all_query_outputs_are_atomic_columns(spark):
     from movie_etl_spark.session import release_caches
 
     offenders = []
-    for name, qd in QUERIES.items():
-        df = qd.fn(spark, TESTDATA_SF0001)
-        offenders.extend(
-            (name, f.name, f.dataType.simpleString())
-            for f in df.schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType, StructType))
-        )
-    release_indexes()
-    release_caches()
+    try:
+        for name, qd in QUERIES.items():
+            df = qd.fn(spark, TESTDATA_SF0001)
+            offenders.extend(
+                (name, f.name, f.dataType.simpleString())
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            )
+    finally:
+        # a query builder raising mid-loop must not leak its persisted
+        # indexes/caches into the rest of the pytest session
+        release_indexes()
+        release_caches()
     assert not offenders, (
         f"queries whose output the driver cannot canonicalize: {offenders}"
     )

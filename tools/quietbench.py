@@ -81,6 +81,16 @@ def main() -> int:
         if not full:
             print(f"run {i}: bench recorded no timings\n{out.stderr[-500:]}")
             return 1
+        # bench.py deliberately exits 0 on per-query exceptions (r5
+        # isolation lesson) and reports them in "errors" with value=None
+        # — a run with crashed queries is NOT protocol evidence and must
+        # not contribute (possibly stale-looking) mins to the record
+        if data.get("errors") or data.get("value") is None:
+            print(
+                f"run {i}: bench reported query errors "
+                f"{list((data.get('errors') or {}))} — run discarded"
+            )
+            return 1
         # merge THIS run immediately (mirroring selfcheck's per-query
         # merge): a timeout or crash in run k must not discard runs 0..k-1
         _merge_run(record_path, full)

@@ -31,16 +31,22 @@ original yet not create cross-replica artifacts:
 - ``lineitem``: l_orderkey/l_partkey/l_suppkey offset per replica →
   gr1's bipartite graph becomes FACTOR disjoint replicas (FACTOR× nodes
   and edges, same degree distribution).
-- ``orders``: o_orderkey offset with the SAME 10M step as lineitem's
-  l_orderkey, so every lineitem replica's order exists (r8 shipped
-  dangling lineitem replicas, which forced every fact-derived oracle to
-  carry the engine's referential-existence filter — the g2 divergence;
-  VERDICT r8 item #7). o_custkey is NOT offset: customer does not
-  replicate, so orders must keep pointing at real customers (each
-  customer simply carries FACTOR× orders — a load increase, not a
-  semantics change, and distinct-customer contracts like hll1/ap1 hold
-  unchanged on both engine and oracle).
-- every other table: plain copy (dims don't need to scale).
+- ``orders``/``part``/``supplier``: key offset with the SAME 10M step
+  as lineitem's l_orderkey/l_partkey/l_suppkey, so NO lineitem replica
+  dangles against any of its three referenced tables (r8 shipped
+  dangling replicas, which forced every fact-derived oracle to carry
+  the engine's referential-existence filter — the g2 divergence;
+  VERDICT r8 item #7. The r9 self-review then caught that fixing
+  orders alone left l_partkey/l_suppkey dangling — visible as
+  f6_edge_builder's sf1 row count pinned at the sf0.1 value). Orders'
+  o_custkey is NOT offset: customer does not replicate, so orders must
+  keep pointing at real customers (each customer simply carries
+  FACTOR× orders — a load increase, not a semantics change, and
+  distinct-customer contracts like hll1/ap1 hold unchanged on both
+  engine and oracle).
+- every other table: plain copy (region/nation/customer dims don't
+  need to scale — no replicated fact key references them with an
+  offset).
 
 Replica 0 is byte-identical to the source, so sf_factor=1 is a no-op
 round trip.
@@ -79,7 +85,8 @@ def _offset(df: DataFrame, col: str, i: int, step: int) -> DataFrame:
 def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
     df = load_table(spark, src, table)
     if i == 0 or table not in (
-        "documents", "embeddings", "events", "lineitem", "orders"
+        "documents", "embeddings", "events", "lineitem",
+        "orders", "part", "supplier",
     ):
         return df
     if table == "orders":
@@ -87,6 +94,10 @@ def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
         # replica k's orders, nothing dangles; custkey untouched (see
         # module doc)
         return _offset(df, "o_orderkey", i, 10_000_000)
+    if table == "part":
+        return _offset(df, "p_partkey", i, 10_000_000)
+    if table == "supplier":
+        return _offset(df, "s_suppkey", i, 10_000_000)
     if table == "documents":
         df = _offset(df, "doc_id", i, 1_000_000)
         # LENGTH-PRESERVING bijective rename: per-character Caesar shift
@@ -144,7 +155,10 @@ def main() -> None:
     spark = get_spark("scale-up")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(dst, exist_ok=True)
-    scaled = {"documents", "embeddings", "events", "lineitem", "orders"}
+    scaled = {
+        "documents", "embeddings", "events", "lineitem",
+        "orders", "part", "supplier",
+    }
     for table in TABLES:
         if not os.path.exists(os.path.join(src, f"{table}.parquet")):
             continue

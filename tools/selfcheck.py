@@ -58,18 +58,24 @@ def frame_digest(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
 
 
 def driver_canon_probe(cols: list[str], rows: list[tuple]) -> None:
-    """Replicate the DRIVER's canonicalizer exactly: the real gate loads
-    each result into pandas and calls ``sort_values`` over every column,
-    which factorize-hashes object columns — a top-level list/dict value
-    raises ``TypeError: unhashable type`` there (how r8's
-    hll1_mergeable_sketch reached its first driver exposure red while
-    this replica's own canon() happily stringified the list for four
-    scales). Run the same pandas sort on both frames so a non-hashable
-    output fails HERE first. Raises on divergence; returns None."""
+    """Reproduce the DRIVER canonicalizer's failure mode: the real gate
+    loads each result into pandas and calls ``sort_values`` over every
+    column, whose MULTI-column path factorize-hashes object columns — a
+    top-level list/dict value raises ``TypeError: unhashable type``
+    there (how r8's hll1_mergeable_sketch reached its first driver
+    exposure red while this replica's own canon() happily stringified
+    the list for four scales). This probe ``pd.factorize``s every
+    column directly, which (a) forces the hashing path even for
+    single-column results, where pandas sort_values would fall back to
+    comparison sort — deliberately at-least-as-strict as the driver —
+    and (b) costs one O(n) hash pass per column instead of the full
+    O(n log n) lexsort (the sf1 sweep pushes multi-million-row frames
+    through here). Raises TypeError on non-hashable values."""
     import pandas as pd
 
     pdf = pd.DataFrame(rows, columns=cols)
-    pdf.sort_values(by=sorted(cols))  # TypeError on unhashable columns
+    for c in pdf.columns:
+        pd.factorize(pdf[c])  # TypeError on unhashable values
 
 
 def main() -> int:
