@@ -1,0 +1,88 @@
+"""Unit tests for the evidence tooling (no Spark session needed).
+
+The r8/r9 ADVICE findings were all in tools/ — stale-file re-reads,
+silent partial merges, a canonicalizer replica laxer than the gate it
+mirrors. These pin the fixed behaviors as plain-python tests so a
+regression fails in seconds, not at the next driver round.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "tools")
+
+from quietbench import _merge_run  # noqa: E402
+from selfcheck import canon, driver_canon_probe, frame_digest  # noqa: E402
+
+
+def test_driver_canon_probe_rejects_list_column():
+    """The r8 red row's failure mode: a top-level list value must raise
+    locally exactly like the driver's factorize-hashing canonicalizer."""
+    with pytest.raises(TypeError):
+        driver_canon_probe(["a", "regs"], [(1, [1, 2]), (2, [3])])
+
+
+def test_driver_canon_probe_rejects_single_list_column():
+    """Single-column results too: pandas sort_values falls back to
+    comparison sort for one key (no hashing), so the probe must be
+    stricter than a literal sort replica (r9 self-review finding)."""
+    with pytest.raises(TypeError):
+        driver_canon_probe(["regs"], [([1, 2],), ([3],)])
+
+
+def test_driver_canon_probe_accepts_atomic_columns():
+    driver_canon_probe(
+        ["a", "b", "c"],
+        [(1, "x", None), (2, None, 3.5), (None, "y", b"zz")],
+    )
+
+
+def test_canon_is_stable_for_float_int_equivalence():
+    assert canon(3.0) == canon(3)
+    assert canon(None) == "NULL"
+    assert canon([1, None]) == "[1,NULL]"
+
+
+def test_frame_digest_is_column_order_insensitive():
+    h1, _ = frame_digest(["a", "b"], [(1, "x"), (2, "y")])
+    h2, _ = frame_digest(["b", "a"], [("x", 1), ("y", 2)])
+    assert h1 == h2
+
+
+def test_frame_digest_is_row_order_insensitive():
+    h1, _ = frame_digest(["a"], [(1,), (2,)])
+    h2, _ = frame_digest(["a"], [(2,), (1,)])
+    assert h1 == h2
+
+
+def test_quietbench_merge_accumulates_and_caps(tmp_path):
+    """Per-run merge semantics: history unions across invocations, the
+    min is over the kept window, and the cap drops the OLDEST runs."""
+    rec = str(tmp_path / "BENCH_QUIET.json")
+    _merge_run(rec, {"q1": 2.0})
+    _merge_run(rec, {"q1": 1.5, "q2": 9.0})
+    data = json.loads(open(rec).read())
+    assert data["q1"] == {"min": 1.5, "runs": [2.0, 1.5], "n": 2}
+    assert data["q2"]["min"] == 9.0
+    for i in range(15):  # cap is 12: early runs (incl. the 1.5) age out
+        _merge_run(rec, {"q1": 3.0 + i})
+    data = json.loads(open(rec).read())
+    assert data["q1"]["n"] == 12
+    assert len(data["q1"]["runs"]) == 12
+    # 17 total runs, window keeps the last 12: 3.0+3 .. 3.0+14
+    assert data["q1"]["min"] == 6.0
+
+
+def test_quietbench_merge_partial_run_keeps_other_queries(tmp_path):
+    """A targeted re-pin must not erase the rest of the record (the
+    selfcheck-style MERGE contract)."""
+    rec = str(tmp_path / "BENCH_QUIET.json")
+    _merge_run(rec, {"q1": 1.0, "q2": 2.0})
+    _merge_run(rec, {"q2": 1.8})
+    data = json.loads(open(rec).read())
+    assert data["q1"]["runs"] == [1.0]
+    assert data["q2"]["runs"] == [2.0, 1.8]
