@@ -2,9 +2,15 @@
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 
-from movie_etl_spark.session import get_spark
+# make the suite runnable from any cwd, not just the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from movie_etl_spark.session import get_spark  # noqa: E402
 
 #: reference checkout (read-only); golden-parity tests skip without it
 REFERENCE_ROOT = "/root/reference"

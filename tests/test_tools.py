@@ -9,11 +9,14 @@ regression fails in seconds, not at the next driver round.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, "tools")
+)
 
 from quietbench import _merge_run  # noqa: E402
 from selfcheck import canon, driver_canon_probe, frame_digest  # noqa: E402
@@ -35,10 +38,21 @@ def test_driver_canon_probe_rejects_single_list_column():
 
 
 def test_driver_canon_probe_accepts_atomic_columns():
+    """Spark-typed outputs: each column holds one type (plus NULLs) —
+    the probe must pass these, including the single-column case."""
     driver_canon_probe(
         ["a", "b", "c"],
-        [(1, "x", None), (2, None, 3.5), (None, "y", b"zz")],
+        [(1, "x", None), (2, None, 3.5), (None, "y", 1.0)],
     )
+    driver_canon_probe(["a"], [(b"zz",), (b"aa",), (None,)])
+
+
+def test_driver_canon_probe_rejects_mixed_type_column():
+    """The driver's single-column path is a comparison sort: mixed
+    Python types raise there even though they hash fine — the probe
+    must stay at least as strict (r9 second-review finding)."""
+    with pytest.raises(TypeError):
+        driver_canon_probe(["a"], [(1,), ("x",)])
 
 
 def test_canon_is_stable_for_float_int_equivalence():

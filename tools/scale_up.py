@@ -44,9 +44,19 @@ original yet not create cross-replica artifacts:
   FACTOR× orders — a load increase, not a semantics change, and
   distinct-customer contracts like hll1/ap1 hold unchanged on both
   engine and oracle).
-- every other table: plain copy (region/nation/customer dims don't
-  need to scale — no replicated fact key references them with an
-  offset).
+- every other table: plain copy. One DELIBERATE referential gap
+  remains: events.user_id is offset per replica but customer is
+  plain-copied, so st6's events→customer enrichment join matches only
+  replica 0 at sf1 (SELFCHECK shows its output pinned at the sf0.1
+  count). This is a conscious trade, not an oversight like the r8/r9
+  lineitem gaps: user_id MUST be disjoint per replica (st1-st5/d6/d7/k8
+  need FACTOR× state keys — the instrument's primary contract for the
+  streaming family) and customer CANNOT replicate (dd10's oracle is a
+  deliberate quadratic brute force over customer names; 10× names would
+  make it 100× = ~22.5B levenshtein calls, oracle-infeasible).
+  Correctness is unaffected — engine and oracle drop the same replicas
+  — and st6's probe side still scans FACTOR× events; only its OUTPUT
+  row count stays flat at sf1.
 
 Replica 0 is byte-identical to the source, so sf_factor=1 is a no-op
 round trip.
@@ -77,6 +87,15 @@ TABLES = (
     "embeddings",
 )
 
+# single source of truth for which tables replicate — consumed by BOTH
+# _replica (to transform replica i) and main (to decide the union count);
+# the two drifting apart would silently union FACTOR byte-identical
+# copies (duplicate keys, no error)
+SCALED = frozenset(
+    {"documents", "embeddings", "events", "lineitem",
+     "orders", "part", "supplier"}
+)
+
 
 def _offset(df: DataFrame, col: str, i: int, step: int) -> DataFrame:
     return df.withColumn(col, (F.col(col) + F.lit(i * step)).cast("long"))
@@ -84,10 +103,7 @@ def _offset(df: DataFrame, col: str, i: int, step: int) -> DataFrame:
 
 def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
     df = load_table(spark, src, table)
-    if i == 0 or table not in (
-        "documents", "embeddings", "events", "lineitem",
-        "orders", "part", "supplier",
-    ):
+    if i == 0 or table not in SCALED:
         return df
     if table == "orders":
         # same step as lineitem's l_orderkey: replica k's lineitems find
@@ -144,10 +160,15 @@ def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
         # formulation assumed uniqueness (r8 sf1 oracle sweep finding).
         df = _offset(df, "user_id", i, 1_000_000)
         return _offset(df, "event_id", i, 10_000_000)
-    # lineitem: disjoint graph + join keys per replica
-    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
-        df = _offset(df, c, i, 10_000_000)
-    return df
+    if table == "lineitem":
+        # disjoint graph + join keys per replica
+        for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+            df = _offset(df, c, i, 10_000_000)
+        return df
+    raise ValueError(
+        f"{table} is in SCALED but _replica has no transform for it — "
+        f"unioning untransformed copies would silently duplicate keys"
+    )
 
 
 def main() -> None:
@@ -155,14 +176,10 @@ def main() -> None:
     spark = get_spark("scale-up")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(dst, exist_ok=True)
-    scaled = {
-        "documents", "embeddings", "events", "lineitem",
-        "orders", "part", "supplier",
-    }
     for table in TABLES:
         if not os.path.exists(os.path.join(src, f"{table}.parquet")):
             continue
-        n = factor if table in scaled else 1  # dims don't replicate
+        n = factor if table in SCALED else 1  # dims don't replicate
         parts = [_replica(spark, src, table, i) for i in range(n)]
         out = parts[0]
         for p in parts[1:]:

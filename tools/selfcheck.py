@@ -64,18 +64,24 @@ def driver_canon_probe(cols: list[str], rows: list[tuple]) -> None:
     top-level list/dict value raises ``TypeError: unhashable type``
     there (how r8's hll1_mergeable_sketch reached its first driver
     exposure red while this replica's own canon() happily stringified
-    the list for four scales). This probe ``pd.factorize``s every
-    column directly, which (a) forces the hashing path even for
-    single-column results, where pandas sort_values would fall back to
-    comparison sort — deliberately at-least-as-strict as the driver —
-    and (b) costs one O(n) hash pass per column instead of the full
-    O(n log n) lexsort (the sf1 sweep pushes multi-million-row frames
-    through here). Raises TypeError on non-hashable values."""
+    the list for four scales). Two complementary checks, because the
+    driver's two sort paths fail differently:
+
+    - ``pd.factorize`` per column forces the multi-column hashing path
+      even for single-column results (where sort_values would fall back
+      to comparison sort) — strictly wider than the driver;
+    - the literal ``sort_values`` replica catches what hashing cannot:
+      a single-column comparison sort over mixed-type objects raises
+      ``'<' not supported`` while factorize happily hashes them.
+
+    Raises (TypeError) on any value the driver's canonicalizer would
+    choke on."""
     import pandas as pd
 
     pdf = pd.DataFrame(rows, columns=cols)
     for c in pdf.columns:
         pd.factorize(pdf[c])  # TypeError on unhashable values
+    pdf.sort_values(by=sorted(cols))  # the driver's literal sort
 
 
 def main() -> int:
