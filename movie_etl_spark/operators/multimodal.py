@@ -270,18 +270,21 @@ def _png_colorkey_alpha(
     others opaque. Appends the alpha channel in the array's dtype
     (uint8 → 255 opaque, uint16 → 65535)."""
     if color_type == 0:
-        if len(trns) < 2:
+        # the spec mandates EXACTLY 2 (gray) / 6 (truecolor) bytes; an
+        # oversized chunk is malformed, same as undersized (r9 ADVICE —
+        # the prefix-slice silently accepted trailing garbage)
+        if len(trns) != 2:
             raise ValueError("malformed gray tRNS chunk")
-        (key,) = struct.unpack(">H", trns[:2])
+        (key,) = struct.unpack(">H", trns)
         if bit_depth < 8:
             # low-bit gray was scaled to 0..255 on decode — scale the
             # key the same way (255/(2^d-1) is exact)
             key *= 255 // ((1 << bit_depth) - 1)
         mask = img[:, :, 0] == key
     else:
-        if len(trns) < 6:
+        if len(trns) != 6:
             raise ValueError("malformed truecolor tRNS chunk")
-        r, g, b = struct.unpack(">HHH", trns[:6])
+        r, g, b = struct.unpack(">HHH", trns)
         mask = (
             (img[:, :, 0] == r) & (img[:, :, 1] == g) & (img[:, :, 2] == b)
         )

@@ -1176,3 +1176,35 @@ def test_png_colorkey_trns_gray_and_truecolor():
     assert out.shape == (2, 2, 2)
     assert (out[:, :, 0] == [[0, 85], [170, 255]]).all()
     assert (out[:, :, 1] == [[255, 0], [255, 255]]).all()
+
+
+def test_png_colorkey_trns_rejects_wrong_length():
+    """The spec mandates EXACTLY 2 (gray) / 6 (truecolor) tRNS bytes for
+    color types 0/2; oversized chunks must raise like undersized ones
+    (r9 ADVICE: the prefix-slice silently accepted trailing bytes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from movie_etl_spark.operators.multimodal import decode_image, encode_png
+
+    def inject_trns(payload: bytes, body: bytes) -> bytes:
+        buf = bytearray(payload)
+        chunk = struct.pack(">I", len(body)) + b"tRNS" + body
+        chunk += struct.pack(">I", zlib.crc32(b"tRNS" + body) & 0xFFFFFFFF)
+        at = buf.index(b"IDAT") - 4
+        buf[at:at] = chunk
+        return bytes(buf)
+
+    gray = np.array([[7, 8]], dtype=np.uint8)[:, :, None]
+    rgb = np.array([[[1, 2, 3]]], dtype=np.uint8)
+    for img, bad in (
+        (gray, b"\x00"),          # gray undersized
+        (gray, b"\x00\x07\x00"),  # gray oversized
+        (rgb, b"\x00" * 5),       # truecolor undersized
+        (rgb, b"\x00" * 8),       # truecolor oversized
+    ):
+        with pytest.raises(ValueError, match="tRNS"):
+            decode_image(inject_trns(encode_png(img), bad))

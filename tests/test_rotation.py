@@ -1,0 +1,110 @@
+"""Rotation-ledger tests (VERDICT r9 item #2) — no Spark session needed.
+
+The driver's correctness gate verifies only the first 50 entries of
+``queries()``; BASELINE.md's standing policy caps any query's
+driver-green staleness at 2 rounds.  At 118 queries / 50 slots the cycle
+is exactly 3 rounds with zero slack, and the window was hand-assembled
+through r9.  These tests make a mis-assembled window fail pytest instead
+of silently violating the bound at the next driver round:
+
+- the live ``DRIVER_PRIORITY`` must contain every query whose latest
+  driver-green round (derived from the committed CORRECTNESS_r*.json
+  artifacts by ``tools/ledger.py``) is at the staleness bound, plus any
+  query never driver-green;
+- the window must be exactly 50 known, distinct names (a typo'd or
+  renamed entry silently shrinks the verified set — the driver gates on
+  ``queries()`` order, and ``ordered_queries`` drops unknown names);
+- synthetic-ledger cases pin the off-by-one the policy hinges on (a
+  query exactly at the bound after this round may park; one past it may
+  not) so a future edit to the predicate fails fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, "tools")
+)
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
+
+from ledger import (  # noqa: E402
+    WINDOW_SLOTS,
+    current_round,
+    driver_green_ledger,
+    staleness_violations,
+)
+
+from movie_etl_spark.plans.catalog import (  # noqa: E402
+    DRIVER_PRIORITY,
+    QUERIES,
+    ordered_queries,
+)
+
+
+def test_window_is_exactly_fifty_known_distinct_names():
+    assert len(DRIVER_PRIORITY) == WINDOW_SLOTS
+    assert len(set(DRIVER_PRIORITY)) == WINDOW_SLOTS
+    unknown = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    assert unknown == [], f"DRIVER_PRIORITY names not in QUERIES: {unknown}"
+
+
+def test_ordered_queries_leads_with_the_window():
+    assert list(ordered_queries())[:WINDOW_SLOTS] == DRIVER_PRIORITY
+    assert set(ordered_queries()) == set(QUERIES)
+
+
+def test_window_satisfies_staleness_bound():
+    viol = staleness_violations(DRIVER_PRIORITY, set(QUERIES), repo=REPO)
+    assert viol == [], (
+        "queries the rotation policy requires in this round's 50-slot "
+        f"window but which are missing: {viol}"
+    )
+
+
+def test_ledger_reads_only_fully_green_rows(tmp_path):
+    rows = {
+        "good": {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None},
+        "hash_red": {"rows_match": True, "schema_match": True,
+                     "hash_match": False, "err": None},
+        "errored": {"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": "boom"},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    led = driver_green_ledger(repo=str(tmp_path))
+    assert led == {"good": 1}
+
+
+def test_ledger_keeps_latest_round_and_filters_to_catalog(tmp_path):
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    red = dict(green, hash_match=False)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "old_name": green}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": green, "b": green}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"a": red}))
+    led = driver_green_ledger(repo=str(tmp_path), catalog={"a", "b", "c"})
+    # a's r3 red row does not advance it; old_name (renamed) is dropped
+    assert led == {"a": 2, "b": 2}
+    assert current_round(repo=str(tmp_path)) == 4
+
+
+def test_staleness_predicate_off_by_one(tmp_path):
+    """r10 precedent: with current round N, last-green N-2 may park one
+    more round; last-green N-3 and never-green must be in the window."""
+    green = {"rows_match": True, "schema_match": True,
+             "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps({"old": green}))
+    (tmp_path / "CORRECTNESS_r08.json").write_text(
+        json.dumps({"parkable": green}))
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"fresh": green}))
+    catalog = {"old", "parkable", "fresh", "never"}
+    viol = staleness_violations(["fresh"], catalog, repo=str(tmp_path))
+    assert viol == ["never", "old"]
+    assert staleness_violations(
+        ["old", "never"], catalog, repo=str(tmp_path)) == []

@@ -18,7 +18,7 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, "tools")
 )
 
-from quietbench import _merge_run  # noqa: E402
+from quietbench import _discard, _merge_run, _restore, _set_aside  # noqa: E402
 from selfcheck import canon, driver_canon_probe, frame_digest  # noqa: E402
 
 
@@ -89,6 +89,35 @@ def test_quietbench_merge_accumulates_and_caps(tmp_path):
     assert len(data["q1"]["runs"]) == 12
     # 17 total runs, window keeps the last 12: 3.0+3 .. 3.0+14
     assert data["q1"]["min"] == 6.0
+
+
+def test_quietbench_set_aside_restores_on_failure(tmp_path):
+    """r9 ADVICE: a bench.py crash on run 1 must not leave the committed
+    BENCH_LOCAL.json deleted from the working tree — the pre-run file is
+    moved aside and restored on the failure paths."""
+    path = str(tmp_path / "BENCH_LOCAL.json")
+    with open(path, "w") as f:
+        f.write('{"committed": true}')
+    backup = _set_aside(path)
+    assert not os.path.exists(path)  # fresh run cannot re-read stale file
+    # failure path (bench produced nothing): the committed record returns
+    _restore(path, backup)
+    assert json.loads(open(path).read()) == {"committed": True}
+    assert not os.path.exists(backup)
+    # success path: bench wrote a replacement — restore must NOT clobber
+    backup = _set_aside(path)
+    with open(path, "w") as f:
+        f.write('{"fresh": true}')
+    _restore(path, backup)  # no-op: replacement exists
+    assert json.loads(open(path).read()) == {"fresh": True}
+    _discard(backup)
+    assert not os.path.exists(backup)
+    # absent file: set-aside is a no-op and restore/discard tolerate None
+    missing = str(tmp_path / "BENCH_SUBSET.json")
+    assert _set_aside(missing) is None
+    _restore(missing, None)
+    _discard(None)
+    assert not os.path.exists(missing)
 
 
 def test_quietbench_merge_partial_run_keeps_other_queries(tmp_path):

@@ -1,0 +1,138 @@
+"""Driver-green ledger (VERDICT r9 item #2): derive each query's latest
+driver-green round from the committed ``CORRECTNESS_r*.json`` artifacts
+and check ``DRIVER_PRIORITY`` against the rotation policy mechanically.
+
+The round driver's correctness gate verifies only the FIRST 50 entries
+of ``__spark_entry__.queries()``; BASELINE.md's standing policy caps any
+query's driver-green staleness at 2 rounds.  Through r9 the 50-slot
+window was hand-assembled each round from prose notes — at 118 queries /
+50 slots the cycle is exactly 3 rounds with zero slack, so a
+mis-assembled window silently violates the bound.  This module makes the
+policy executable:
+
+- ``driver_green_ledger()`` — {query: latest round with a fully-green
+  row (rows+schema+hash, no err)} over every committed artifact.  Names
+  absent from the current catalog (e.g. the r2-era
+  ``a4_pandas_group_median``, renamed ``a4_group_median`` in r3) are
+  dropped when a catalog is supplied.
+- ``current_round()`` — max committed artifact round + 1 (the round now
+  being built, whose artifact does not exist yet).
+- ``staleness_violations(window)`` — queries the policy REQUIRES in this
+  round's window but which are missing: anything never driver-green, or
+  anything that skipping this round would push PAST the 2-round bound
+  (last green ≤ current_round - 3; a query at exactly 2 rounds stale
+  after this round may still park, per the r8→r9→r10 precedent).
+
+``tests/test_rotation.py`` asserts violations == [] against the live
+``DRIVER_PRIORITY``; run ``python tools/ledger.py`` for a human-readable
+audit (cohort sizes per round + the next round's mandatory front-load
+list).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW_SLOTS = 50
+STALENESS_BOUND = 2  # rounds; BASELINE.md "Driver correctness-window rotation"
+
+
+def _artifacts(repo: str = REPO) -> list[tuple[int, str]]:
+    out = []
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if m:
+            out.append((int(m.group(1)), path))
+    return sorted(out)
+
+
+def driver_green_ledger(
+    repo: str = REPO, catalog: set[str] | None = None
+) -> dict[str, int]:
+    """query -> latest round whose driver artifact shows it fully green."""
+    ledger: dict[str, int] = {}
+    for rnd, path in _artifacts(repo):
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            )
+            if green:
+                ledger[name] = max(ledger.get(name, 0), rnd)
+    if catalog is not None:
+        ledger = {n: r for n, r in ledger.items() if n in catalog}
+    return ledger
+
+
+def current_round(repo: str = REPO) -> int:
+    arts = _artifacts(repo)
+    if not arts:
+        raise FileNotFoundError(f"no CORRECTNESS_r*.json under {repo}")
+    return arts[-1][0] + 1
+
+
+def staleness_violations(
+    window: list[str], catalog: set[str], repo: str = REPO
+) -> list[str]:
+    """Catalog queries the policy REQUIRES in ``window`` but absent.
+
+    Required = never driver-green, or a query that skipping THIS round
+    would push past the bound: staleness after this round's gate is
+    ``current_round - last_green``, so anything with
+    ``last_green <= current_round - STALENESS_BOUND - 1`` must be in the
+    window (a query exactly AT the bound going in is re-verified now; one
+    round younger may legally park once more).  Sorted; empty == compliant.
+    """
+    ledger = driver_green_ledger(repo, catalog)
+    rnd = current_round(repo)
+    slots = set(window[:WINDOW_SLOTS])
+    required = [
+        q
+        for q in sorted(catalog)
+        if ledger.get(q, -(10**9)) <= rnd - STALENESS_BOUND - 1
+    ]
+    return [q for q in required if q not in slots]
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    from movie_etl_spark.plans.catalog import DRIVER_PRIORITY, QUERIES
+
+    catalog = set(QUERIES)
+    ledger = driver_green_ledger(catalog=catalog)
+    rnd = current_round()
+    print(f"current round: r{rnd}; catalog: {len(catalog)} queries")
+    print(f"last-green cohorts: "
+          f"{dict(sorted(Counter(ledger.values()).items()))}")
+    never = sorted(catalog - set(ledger))
+    if never:
+        print(f"never driver-green ({len(never)}): {' '.join(never)}")
+    viol = staleness_violations(DRIVER_PRIORITY, catalog)
+    print(f"window: {len(DRIVER_PRIORITY)} pinned / {WINDOW_SLOTS} slots; "
+          f"staleness violations: {viol or 'none'}")
+    # what the window, if green, forces next round
+    after = dict(ledger)
+    for q in DRIVER_PRIORITY[:WINDOW_SLOTS]:
+        after[q] = rnd
+    front = sorted(
+        q
+        for q in catalog
+        if after.get(q, -(10**9)) <= rnd + 1 - STALENESS_BOUND - 1
+    )
+    print(f"r{rnd + 1} mandatory front-load if r{rnd} goes green "
+          f"({len(front)}): {' '.join(front)}")
+    return 1 if viol else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,11 +54,10 @@ def main() -> int:
     for i in range(n):
         # a committed BENCH_* file from an earlier session would be
         # silently re-read as this run's timings if bench.py crashes —
-        # remove it first so a crash is a crash, not a stale record
-        try:
-            os.remove(lossless)
-        except FileNotFoundError:
-            pass
+        # move it aside (NOT unlink: r9 ADVICE — a crash on the first
+        # run must not leave the committed evidence file deleted from
+        # the working tree) so a crash is a crash, not a stale record
+        backup = _set_aside(lossless)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), *run_set],
@@ -67,14 +66,18 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             print(f"run {i}: bench.py exceeded 1800s — "
                   f"keeping the {completed} completed run(s)")
+            _restore(lossless, backup)
             break
         if out.returncode != 0:
             print(f"run {i}: bench.py exited {out.returncode}\n"
                   f"{out.stderr[-500:]}")
+            _restore(lossless, backup)
             return 1
         if not os.path.exists(lossless):
             print(f"run {i}: no {lossless}\n{out.stderr[-500:]}")
+            _restore(lossless, backup)
             return 1
+        _discard(backup)
         with open(lossless) as f:
             data = json.load(f)
         full = data.get("queries") or {}
@@ -104,6 +107,29 @@ def main() -> int:
     spread = {s: record[s]["runs"] for s in SENTINELS if s in record}
     print(f"wrote {record_path}; sentinel spread: {json.dumps(spread)}")
     return 0
+
+
+def _set_aside(path: str) -> str | None:
+    """Move ``path`` to ``path + '.bak'`` so a fresh bench run cannot
+    silently re-read it; return the backup path (None if absent)."""
+    if not os.path.exists(path):
+        return None
+    backup = path + ".bak"
+    os.replace(path, backup)
+    return backup
+
+
+def _restore(path: str, backup: str | None) -> None:
+    """Failure path: put the pre-run file back if bench.py produced no
+    replacement, so a failed protocol run leaves the committed record
+    intact (the successful-run replacement is never overwritten)."""
+    if backup and not os.path.exists(path):
+        os.replace(backup, path)
+
+
+def _discard(backup: str | None) -> None:
+    if backup and os.path.exists(backup):
+        os.remove(backup)
 
 
 def _merge_run(record_path: str, timings: dict[str, float]) -> None:
