@@ -51,31 +51,11 @@ def movie_nodes(clean_movies: DataFrame) -> DataFrame:
 def person_nodes(clean_movies: DataFrame) -> DataFrame:
     """Person nodes discovered from cast+crew (flows/etl_flow.py:425-531):
     union of both bridges, one row per person_id."""
+    cast_people = explode_cast(clean_movies).select("person_id", "name", "gender")
+    crew_people = explode_crew(clean_movies).select("person_id", "name", "gender")
     return dedup_by_key(
-        _credits_union(clean_movies).select("person_id", "name", "gender"),
-        ["person_id"],
-        order_col="name",
+        cast_people.unionByName(crew_people), ["person_id"], order_col="name"
     )
-
-
-def _credits_union(clean_movies: DataFrame) -> DataFrame:
-    """ONE exploded-credits frame feeding Person nodes, ACTED_IN and the
-    11 crew-department edge types (r9 VERDICT item #4): cast and crew
-    bridges unioned with an ``is_cast`` marker and a superset payload, so
-    the doc arrays are exploded — and the referential semi-joins run —
-    once instead of per consumer."""
-    null_s = F.lit(None).cast("string")
-    cast_x = explode_cast(clean_movies).select(
-        "movie_id", "person_id", "name", "gender", "character",
-        null_s.alias("job"), null_s.alias("department"),
-        F.lit(True).alias("is_cast"),
-    )
-    crew_x = explode_crew(clean_movies).select(
-        "movie_id", "person_id", "name", "gender",
-        null_s.alias("character"), "job", "department",
-        F.lit(False).alias("is_cast"),
-    )
-    return cast_x.unionByName(crew_x)
 
 
 def build_movie_graph(
@@ -92,26 +72,20 @@ def build_movie_graph(
     the join key and AQE handles skew (one blockbuster movie with a
     10k-person crew is exactly the skewed-key case).
 
-    ``reuse_shared`` materializes (localCheckpoint) the frames every
-    branch re-reads — the Movie/Person node tables plus the exploded,
-    endpoint-validated credits frame that feeds Person, ACTED_IN and the
-    11 crew-department edge types — so consumers that execute MANY of
-    the returned tables (the 17-table full materialization; g2's parity
-    sweep) don't re-run the explode + semi-join + dedup-window lineage
-    per branch. At cluster scale the same role is played by writing
-    nodes first and reading them back for the edge builds; leave False
-    when only one or two tables will execute.
+    ``reuse_shared`` materializes (localCheckpoint) the two node tables
+    every edge build joins against — Movie and Person — so consumers
+    that execute MANY of the returned tables as separate actions (the
+    17-table full materialization; g2's parity sweep) don't re-run the
+    dedup-window lineage per action. At cluster scale the same role is
+    played by writing nodes first and reading them back for the edge
+    builds; leave False when only one or two tables will execute.
     """
-    _cp = (lambda df: df.localCheckpoint()) if reuse_shared else (lambda df: df)
-    movies = _cp(movie_nodes(clean_movies))
+    movies = movie_nodes(clean_movies)
+    if reuse_shared:
+        movies = movies.localCheckpoint()
     out: dict[str, DataFrame] = {"nodes/Movie": movies}
 
-    # each bridge feeds BOTH its node table and its edge table — in
-    # shared mode materialize the exploded+deduped bridge once so the
-    # two branches don't re-run the explode+dedup shuffle each
-    genre_bridge = _cp(
-        explode_bridge(clean_movies, "movie_id", "genre_ids", "genre_id")
-    )
+    genre_bridge = explode_bridge(clean_movies, "movie_id", "genre_ids", "genre_id")
     genre_nodes = genre_bridge.select("genre_id").dropDuplicates(["genre_id"])
     out["nodes/Genre"] = genre_nodes
     out["edges/HAS_GENRE"] = build_edges(
@@ -119,9 +93,7 @@ def build_movie_graph(
         broadcast_tails=True,
     )
 
-    lang_bridge = _cp(
-        explode_bridge(clean_movies, "movie_id", "language_ids", "language_id")
-    )
+    lang_bridge = explode_bridge(clean_movies, "movie_id", "language_ids", "language_id")
     lang_nodes = lang_bridge.select("language_id").dropDuplicates(["language_id"])
     out["nodes/Language"] = lang_nodes
     out["edges/HAS_LANGUAGE"] = build_edges(
@@ -129,58 +101,40 @@ def build_movie_graph(
         broadcast_tails=True,
     )
 
-    country_bridge = _cp(
-        explode_bridge(clean_movies, "movie_id", "country_ids", "country_id")
-    )
+    country_bridge = explode_bridge(clean_movies, "movie_id", "country_ids", "country_id")
     out["nodes/Country"] = country_bridge.select("country_id").dropDuplicates(["country_id"])
     out["edges/PRODUCTION_COUNTRY"] = build_edges(
         country_bridge, movies, out["nodes/Country"], "movie_id", "country_id",
         "PRODUCTION_COUNTRY", broadcast_tails=True,
     )
 
-    # explode cast+crew ONCE; person nodes, ACTED_IN and the 11
-    # crew-department edge types all read this frame (r9 VERDICT #4 —
-    # previously each branch re-exploded the doc arrays and re-ran the
-    # movie/person semi-joins: 4 explodes + 2 full semi-join pairs)
-    credits = _cp(_credits_union(clean_movies))
-    persons = _cp(
-        dedup_by_key(
-            credits.select("person_id", "name", "gender"),
-            ["person_id"],
-            order_col="name",
-        )
-    )
+    persons = person_nodes(clean_movies)
+    if reuse_shared:
+        persons = persons.localCheckpoint()
     out["nodes/Person"] = persons
 
-    # referential integrity for BOTH credit edge families in one pass:
-    # an edge exists only if both endpoints exist (kg_task.py:43-80)
-    valid_credits = _cp(
-        credits.join(movies.select("movie_id"), "movie_id", "left_semi")
-        .join(persons.select("person_id"), "person_id", "left_semi")
-    )
-
+    acted = explode_cast(clean_movies).withColumnRenamed("character", "role")
     # a person with multiple characters in one movie is one ACTED_IN row
     # (relationship_id uniqueness, 1_constraints.cypher); lowest role wins
     # deterministically
     out["edges/ACTED_IN"] = dedup_by_key(
-        valid_credits.filter("is_cast")
-        .select(
-            F.col("movie_id").alias("head_id"),
-            F.col("person_id").alias("tail_id"),
-            F.col("character").alias("role"),
-        )
-        .withColumn("rel_type", F.lit("ACTED_IN"))
-        .withColumn("relationship_id", relationship_id("head_id", "tail_id")),
+        build_edges(
+            acted, movies, persons, "movie_id", "person_id", "ACTED_IN",
+            payload=["role"],
+        ),
         ["relationship_id"],
         order_col="role",
     )
 
+    crew = explode_crew(clean_movies).withColumn(
+        "rel", decode_department("department")
+    )
     # unknown departments drop (the reference raises KeyError —
     # utils/etl.py:36-39; we choose explicit inner-join semantics)
+    crew = crew.filter(F.col("rel").isNotNull())
     crew_edges = (
-        valid_credits.filter(~F.col("is_cast"))
-        .withColumn("rel", decode_department("department"))
-        .filter(F.col("rel").isNotNull())
+        crew.join(movies.select("movie_id"), "movie_id", "left_semi")
+        .join(persons.select("person_id"), "person_id", "left_semi")
         .select(
             F.col("movie_id").alias("head_id"),
             F.col("person_id").alias("tail_id"),
@@ -192,9 +146,7 @@ def build_movie_graph(
     )
     out["edges/CREW"] = crew_edges
 
-    # the provider inversion's group-collect shuffle also feeds two
-    # branches (WatchProvider nodes + AVAILABLE_ON edges)
-    providers = _cp(invert_watch_providers(clean_movies))
+    providers = invert_watch_providers(clean_movies)
     out["nodes/WatchProvider"] = providers.select("provider_id").dropDuplicates(
         ["provider_id"]
     )
@@ -226,9 +178,7 @@ def build_movie_graph(
     )
 
     if companies is not None:
-        # comp_nodes is read four times (node table, PRODUCED_BY tail,
-        # both COMPANY_PART_OF endpoints) — one dedup window, shared
-        comp_nodes = _cp(dedup_by_key(companies, ["company_id"], "name"))
+        comp_nodes = dedup_by_key(companies, ["company_id"], "name")
         out["nodes/Company"] = comp_nodes
         produced = explode_bridge(clean_movies, "movie_id", "company_ids", "company_id")
         out["edges/PRODUCED_BY"] = build_edges(
