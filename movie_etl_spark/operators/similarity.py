@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from movie_etl_spark.functions.vectors import (
+    batched_fold_dot,
     cosine_from_norms,
     cosine_similarity,
     l2_norm,
@@ -222,12 +223,22 @@ def ivf_top_k(
             .filter(F.col("_rn") <= n_probe)
             .select("query_id", "q_vec", "_qn", "centroid_id")
         )
+    # the candidate join is the pair-dominant stage (~|Q| * n_probe/n_centroids
+    # * |C| pairs — 50M at sf1): score it with the Arrow-batched fold,
+    # bit-identical to the JVM fold but vectorized per batch instead of
+    # interpreted per element (r10 A/B: 31.4 -> 18.9 s at sf1). The
+    # assignment pass above stays JVM-side — its pair count is only
+    # N * n_centroids and a Python stage there costs more than it saves.
+    denom = F.col("_qn") * F.col("_cn")
     scored = (
         query_probes.join(corpus_assigned, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(cosine_from_norms("q_vec", "c_vec_n", "_qn", "_cn"), 6),
+            F.round(
+                F.when(denom > 0, batched_fold_dot("q_vec", "c_vec_n") / denom),
+                6,
+            ),
         )
     )
     return _ranked_top_k(scored, k)
