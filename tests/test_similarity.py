@@ -60,6 +60,41 @@ def test_lsh_respects_buckets(vectors):
     assert not any(r.neighbor_id == 3 for r in out)
 
 
+def test_batched_fold_dot_bitwise_equals_jvm_fold(spark):
+    """The Arrow-batched dot (v3's candidate-scoring path) must produce
+    the EXACT double of the zip_with/aggregate fold — same IEEE-754 add
+    sequence, zero tolerance — or its determinism-against-the-oracle
+    argument (BASELINE.md r10 adjudication) collapses. Mixed magnitudes
+    and signs make the accumulation-order sensitivity real: pairwise or
+    reversed summation WOULD differ in the low bits on this data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from movie_etl_spark.functions.vectors import batched_fold_dot, dot_product
+
+    rng = random.Random(1234)
+    dims = 64
+    rows = []
+    for i in range(500):
+        a = [rng.uniform(-1, 1) * 10 ** rng.randint(-3, 3) for _ in range(dims)]
+        b = [rng.uniform(-1, 1) * 10 ** rng.randint(-3, 3) for _ in range(dims)]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(
+        rows, "id long, a array<float>, b array<float>"
+    )
+    mismatches = (
+        df.select(
+            dot_product("a", "b").alias("jvm"),
+            batched_fold_dot("a", "b").alias("arrow"),
+        )
+        # bitwise: no approx, NaN-safe equality
+        .filter(~F.col("jvm").eqNullSafe(F.col("arrow")))
+        .count()
+    )
+    assert mismatches == 0
+
+
 def test_ivf_exhaustive_probe_equals_brute_force(spark):
     """With n_probe == n_centroids, IVF probes everything: results must
     equal exact brute force — the recall ceiling sanity check."""
