@@ -344,3 +344,45 @@ def test_t7_tfidf_broadcasts_df_and_stats(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_committed_plan_audit_invariants():
+    """PLAN_AUDIT.json is round-over-round adjudication evidence; this
+    test makes the invariants the audit is cited for (VERDICT r8-r10)
+    un-committable to break: no cartesian products anywhere, Python
+    stages only in the adjudicated families (codecs/HTML/sketch/
+    connector — where Python IS the point — plus v3's Arrow-batched
+    candidate scoring, BASELINE.md r10 adjudication), and
+    nested-loop joins only on the audited bounded-broadcast attaches.
+    Regenerate with ``python tools/plan_audit.py`` after a deliberate
+    plan change and update the allowlists WITH the adjudication."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT.json")
+    audit = json.load(open(path))
+    assert len(audit) == len(QUERIES), "audit stale: query set drifted"
+
+    cartesians = {q for q, m in audit.items() if m["cartesian_products"]}
+    assert not cartesians, f"cartesian products crept in: {cartesians}"
+
+    python_ok = {
+        "f9_html_extract", "hh1_heavy_hitters", "x1_throttled_fetch",
+        "v3_ivf_top_k",
+        "mm1_multimodal_features", "mm3_image_decode", "mm4_audio_decode",
+        "mm5_png_decode", "mm6_perceptual_hash", "mm7_gif_decode",
+        "mm8_jpeg_roundtrip", "mm9_palette_png", "mm10_g711_audio",
+    }
+    python_bad = {q for q, m in audit.items() if m["python_stages"]} - python_ok
+    assert not python_bad, f"unadjudicated Python stages: {python_bad}"
+
+    bnlj_ok = {
+        # 1-row / bounded-broadcast scalar attaches, audited in VERDICT r9
+        "cp6_temperature_mix", "gr2_pagerank_dangling",
+        "k8_incremental_watermark", "t6_unigram_logprob",
+        "t7_tfidf_top_terms", "v1_brute_force_top_k", "v3_ivf_top_k",
+        "v5_bm25_search", "v7_kmeans_clusters",
+    }
+    bnlj_bad = {
+        q for q, m in audit.items() if m["broadcast_nested_loop_joins"]
+    } - bnlj_ok
+    assert not bnlj_bad, f"unadjudicated nested-loop joins: {bnlj_bad}"
