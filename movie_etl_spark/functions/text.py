@@ -1,14 +1,19 @@
 """Text-analysis Column functions for the LLM-data-pipeline surface.
 
-All JVM-side expressions (split/regexp/md5/aggregate) — no Python UDFs —
-so they vectorize inside whole-stage codegen and scale linearly with
-input bytes. md5 is used as the deterministic hash everywhere because it
-is bit-identical across engines (Spark, DuckDB), which makes every one
-of these operators oracle-checkable.
+JVM-side expressions (split/regexp/md5/aggregate) so they vectorize
+inside whole-stage codegen and scale linearly with input bytes — with
+ONE adjudicated exception: ``winnowed_fingerprints``'s pair-dominant
+gram-hash stage runs as an Arrow-batched pandas UDF (5x at sf1, bit
+-identical; BASELINE.md r10 adjudications). md5 is used as the
+deterministic hash everywhere because it is bit-identical across
+engines (Spark, DuckDB, hashlib), which makes every one of these
+operators oracle-checkable.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -175,7 +180,76 @@ def winnowed_fingerprints(
     substring of length >= k + window - 1 contributes a shared
     fingerprint, with expected density 2/(window+1).
 
-    Plan shape: ZERO shuffles. The rolling min is computed per ROW with
+    Plan shape: ZERO shuffles — normalization stays a JVM expression,
+    then ONE Arrow-batched pandas UDF computes the per-doc gram hashes
+    and sliding-window minima (hashlib.md5 over byte slices — the
+    normalized text is pure ASCII so byte offsets == char offsets —
+    then a vectorized numpy ``sliding_window_view(...).min``), and a
+    single pipelined explode emits (id, fp) pairs. This is the v3
+    lesson applied (BASELINE.md r10 adjudications): the per-gram md5
+    chain is a pair-dominant stage, and Catalyst evaluates higher-order
+    -function lambdas interpreted per element (~20 us/gram measured);
+    Python hashlib+numpy does the identical arithmetic at ~1 us/gram.
+    Measured at sf1 (warm, in-process A/B): 9.34 s JVM-expression path
+    vs 1.87 s this path — 5.0x — with the output multiset exactly
+    equal (md5 and int64 min are exact; no float anywhere). The JVM
+    expression path is kept below as ``_winnowed_fingerprints_jvm``,
+    the pinned reference implementation
+    (tests/test_text_dedup.py::test_winnowed_fingerprints_matches_jvm_path).
+    """
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    from movie_etl_spark.session import ensure_parallelism
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _fps(norm: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for s in norm:
+            if s is None:  # JVM path emits no rows for NULL text
+                out.append(np.empty(0, np.int64))
+                continue
+            b = s.encode()
+            n = len(b) - (k - 1)  # gram count
+            if n < window:  # no full window -> no fingerprints
+                out.append(np.empty(0, np.int64))
+                continue
+            # first 4 md5 bytes as unsigned big-endian == the JVM's
+            # conv(substring(md5_hex, 1, 8), 16, 10) exactly
+            hs = np.fromiter(
+                (
+                    int.from_bytes(md5(b[i : i + k]).digest()[:4], "big")
+                    for i in range(n)
+                ),
+                count=n,
+                dtype=np.int64,
+            )
+            sw = np.lib.stride_tricks.sliding_window_view(
+                hs, window
+            ).min(axis=1)
+            out.append(pd.unique(sw))
+        return pd.Series(out)
+
+    staged = ensure_parallelism(df).select(
+        F.col(id_col), normalize_text(text_col).alias("_norm")
+    )
+    return staged.select(
+        F.col(id_col), F.explode(_fps(F.col("_norm"))).alias("fp")
+    )
+
+
+def _winnowed_fingerprints_jvm(
+    df, text_col: str, id_col: str, k: int = 7, window: int = 8
+):
+    """Pure-JVM-expression winnowing — the pinned reference
+    implementation for ``winnowed_fingerprints``'s Arrow path (and the
+    fallback if a deployment forbids Python workers). Identical output
+    multiset; ~5x slower at sf1 because the per-gram md5 runs inside an
+    interpreted HOF lambda (see the public function's docstring).
+
+    The rolling min is computed per ROW with
     array expressions (transform over window starts -> least() over
     ``window`` element_at lookups into a pre-materialized hash array),
     then array_distinct collapses repeats before a single pipelined

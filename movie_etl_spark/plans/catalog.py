@@ -3249,9 +3249,11 @@ def q_dd6_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="winnowing document fingerprints (MOSS, SIGMOD'03): rolling "
     "7-gram hashes, window-8 minima, distinct selected hashes — "
     "guarantees shared substrings >= 14 chars share a fingerprint at "
-    "~2/9 density. All JVM expressions: sequence/transform gram "
-    "expansion, one posexplode, bounded rows-frame min "
-    "(functions.text.winnowed_fingerprints)",
+    "~2/9 density. JVM normalization, then ONE Arrow-batched pandas "
+    "stage for the pair-dominant gram-hash + sliding-min work (5x vs "
+    "the interpreted-HOF expression path at sf1, bit-identical output "
+    "— BASELINE.md r10 adjudications), one pipelined explode, zero "
+    "shuffles (functions.text.winnowed_fingerprints)",
 )
 def q_t3_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_etl_spark.functions.text import winnowed_fingerprints
@@ -4019,7 +4021,7 @@ def q_f12_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verbatim normalized substring >= 14 chars (MOSS guarantee from "
     "t3's k=7/window=8 parameters), so this catches verbatim test-set "
     "leakage that token-overlap scoring under-weights. One fingerprint "
-    "pass over the corpus (t3's shuffle-free rolling machinery), then "
+    "pass over the corpus (t3's shuffle-free Arrow-batched machinery), then "
     "a join against the BOUNDED bench fingerprint set — benchmarks are "
     "small by nature, so at 100 TB this side broadcasts and the corpus "
     "never reshuffles (functions.text.winnowed_fingerprints)",

@@ -368,6 +368,8 @@ def test_committed_plan_audit_invariants():
     python_ok = {
         "f9_html_extract", "hh1_heavy_hitters", "x1_throttled_fetch",
         "v3_ivf_top_k",
+        # winnowing gram-hash stage (BASELINE.md r10 adjudication)
+        "t3_winnowing_fingerprints", "cc2_fingerprint_decontam",
         "mm1_multimodal_features", "mm3_image_decode", "mm4_audio_decode",
         "mm5_png_decode", "mm6_perceptual_hash", "mm7_gif_decode",
         "mm8_jpeg_roundtrip", "mm9_palette_png", "mm10_g711_audio",

@@ -5,6 +5,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import TESTDATA_SF0001
+
 from movie_etl_spark.functions.text import (
     char_shingles,
     doc_fingerprint,
@@ -357,6 +359,42 @@ def test_winnowed_fingerprints_properties(spark):
     assert not (fps[0] & fps[2])
     # sub-threshold doc selects no fingerprints
     assert 3 not in fps
+
+
+def test_winnowed_fingerprints_matches_jvm_path(spark):
+    """The Arrow-batched gram-hash stage (r10 adjudication: 5x at sf1)
+    must reproduce the pinned JVM expression path's output multiset
+    EXACTLY — md5 and int64 min are exact arithmetic, so any diff is a
+    bug, not tolerance. Covers the real sf0.001 corpus plus adversarial
+    edges: NULL, empty, shorter-than-k, exactly one window, one-short
+    of a window, and unicode that normalization strips to ASCII."""
+    from movie_etl_spark.functions.text import (
+        _winnowed_fingerprints_jvm,
+        winnowed_fingerprints,
+    )
+    from movie_etl_spark.session import load_table
+
+    # k=7, window=8 -> first fingerprint at normalized length 14
+    edges = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, ""),
+            (100003, "abc"),
+            (100004, "exactly14chars"),  # one full window
+            (100005, "is13characters"[:13]),  # one short of a window
+            (100006, "Ünïcode — 中文 § mixed THEN plain ascii tail here"),
+            (100007, "  !!punct--only@@  "),  # normalizes to empty
+        ],
+        "doc_id long, text string",
+    )
+    docs = load_table(spark, TESTDATA_SF0001, "documents").select(
+        "doc_id", "text"
+    )
+    for df in (edges, docs):
+        arrow = winnowed_fingerprints(df, "text", "doc_id")
+        jvm = _winnowed_fingerprints_jvm(df, "text", "doc_id")
+        assert arrow.exceptAll(jvm).count() == 0
+        assert jvm.exceptAll(arrow).count() == 0
 
 
 def test_bpe_ish_tokens(spark):
