@@ -45,7 +45,10 @@ from movie_etl_spark.operators.joins import hierarchy_closure
 from movie_etl_spark.operators.multimodal import extract_features, sample_frames
 from movie_etl_spark.operators.similarity import brute_force_top_k, lsh_top_k
 from movie_etl_spark.session import load_table
-from movie_etl_spark.streaming.events import windowed_counts
+from movie_etl_spark.streaming.events import (
+    bounded_state_partitions,
+    windowed_counts,
+)
 
 
 @dataclass(frozen=True)
@@ -2298,15 +2301,16 @@ def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_time(
         spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
     )
-    q = (
-        stateful_user_counts(stream)
-        .writeStream.format("memory")
-        .queryName("st3_state")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            stateful_user_counts(stream)
+            .writeStream.format("memory")
+            .queryName("st3_state")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # final state per user = last emit = max (n_events, total_value)
     # struct, since n_events only ever grows within a user's state
     return (
@@ -2343,16 +2347,17 @@ def q_st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_time(
         spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
     )
-    q = (
-        dedup_events(stream)
-        .select("event_id", "user_id", "event_type", "value")
-        .writeStream.format("memory")
-        .queryName("st4_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            dedup_events(stream)
+            .select("event_id", "user_id", "event_type", "value")
+            .writeStream.format("memory")
+            .queryName("st4_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("st4_dedup")
 
 
@@ -2410,14 +2415,15 @@ def q_st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.event_id").alias("error_id"),
         F.col("r.ts").alias("error_ts"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("st5_join")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("st5_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("st5_join")
 
 
@@ -2492,14 +2498,15 @@ def q_st7_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.event_id").alias("error_id"),
         F.col("r.ts").alias("error_ts"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("st7_outer_join")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("st7_outer_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("st7_outer_join")
 
 
@@ -4227,19 +4234,20 @@ def q_st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         spark.read.parquet(staged).schema
     ).parquet(staged)
-    q = (
-        enrich_stream(stream, dim, on="user_id")
-        .select(
-            "event_id", "user_id", "event_type", "value",
-            "mktsegment", "nationkey",
+    with bounded_state_partitions(spark):
+        q = (
+            enrich_stream(stream, dim, on="user_id")
+            .select(
+                "event_id", "user_id", "event_type", "value",
+                "mktsegment", "nationkey",
+            )
+            .writeStream.format("memory")
+            .queryName("st6_enriched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName("st6_enriched")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table("st6_enriched")
 
 

@@ -358,3 +358,22 @@ def test_stream_outer_join_eviction_semantics(spark, tmp_path):
     # clicks 11 (01:00) and 12 (23:59:30)... 12 is ABOVE wm -> stays in
     # state; 13 (01-03) above wm -> stays in state; 11 emits null row
     assert got == {(10, 20), (11, None)}
+
+
+def test_bounded_state_partitions_scopes_and_restores(spark):
+    """The state-partition override must be invisible outside its scope
+    — including on the exception path — because the session's shuffle
+    partitions govern every BATCH plan that runs after the stream."""
+    import pytest
+
+    from movie_etl_spark.streaming.events import bounded_state_partitions
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    with bounded_state_partitions(spark, 5):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with bounded_state_partitions(spark, 5):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
