@@ -2301,7 +2301,13 @@ def q_st3_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_time(
         spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
     )
-    with bounded_state_partitions(spark):
+    # applyInPandasWithState is COMPUTE-bound in the Python workers, not
+    # instance-overhead-bound like the JVM stream ops: squeeze it to 8
+    # partitions and the per-user pandas work serializes onto 8 workers
+    # (sf1 warm A/B: 6.45 s @8, 4.3 @16, 2.85 @32). Python-stateful
+    # operators get core-count state partitions; sf0.1 is flat across
+    # the grid (1.5-2.4 s), so cores is the scale-robust choice.
+    with bounded_state_partitions(spark, n=spark.sparkContext.defaultParallelism):
         q = (
             stateful_user_counts(stream)
             .writeStream.format("memory")
