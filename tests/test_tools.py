@@ -75,7 +75,9 @@ def test_frame_digest_is_row_order_insensitive():
 
 def test_quietbench_merge_accumulates_and_caps(tmp_path):
     """Per-run merge semantics: history unions across invocations, the
-    min is over the kept window, and the cap drops the OLDEST runs."""
+    cap drops the OLDEST runs, and the all-time min SURVIVES eviction
+    (the r10 lesson: the window cap let g2's recorded min drift upward
+    as targeted runs evicted its best readings)."""
     rec = str(tmp_path / "BENCH_QUIET.json")
     _merge_run(rec, {"q1": 2.0})
     _merge_run(rec, {"q1": 1.5, "q2": 9.0})
@@ -87,8 +89,15 @@ def test_quietbench_merge_accumulates_and_caps(tmp_path):
     data = json.loads(open(rec).read())
     assert data["q1"]["n"] == 12
     assert len(data["q1"]["runs"]) == 12
-    # 17 total runs, window keeps the last 12: 3.0+3 .. 3.0+14
-    assert data["q1"]["min"] == 6.0
+    # 17 total runs, window keeps the last 12 (3.0+3 .. 3.0+14) — but
+    # the min is monotone: the evicted 1.5 reading stays the floor
+    assert data["q1"]["runs"][0] == 6.0
+    assert data["q1"]["min"] == 1.5
+    # a legacy record without a "min" field still merges (min over runs)
+    legacy = str(tmp_path / "LEGACY.json")
+    json.dump({"q1": {"runs": [4.0], "n": 1}}, open(legacy, "w"))
+    _merge_run(legacy, {"q1": 5.0})
+    assert json.loads(open(legacy).read())["q1"]["min"] == 4.0
 
 
 def test_quietbench_set_aside_restores_on_failure(tmp_path):

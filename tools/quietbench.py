@@ -141,8 +141,18 @@ def _merge_run(record_path: str, timings: dict[str, float]) -> None:
         with open(record_path) as f:
             record = json.load(f)
     for name, sec in timings.items():
-        runs = (record.get(name, {}).get("runs", []) + [sec])[-12:]
-        record[name] = {"min": min(runs), "runs": runs, "n": len(runs)}
+        prior = record.get(name, {})
+        runs = (prior.get("runs", []) + [sec])[-12:]
+        # the all-time min survives run-history eviction: the 12-entry
+        # cap once let g2's recorded min drift 9.77 -> 11.23 as targeted
+        # runs pushed its best readings out of the window, and reading
+        # that drift as a regression cost an investigation. Monotone min
+        # matches the record's semantics (superseded-plan mins stay, per
+        # the v3 adjudication); per-run history stays capped.
+        best = min(runs)
+        if "min" in prior:
+            best = min(best, prior["min"])
+        record[name] = {"min": best, "runs": runs, "n": len(runs)}
     tmp = record_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
