@@ -138,3 +138,45 @@ def test_quietbench_merge_partial_run_keeps_other_queries(tmp_path):
     data = json.loads(open(rec).read())
     assert data["q1"]["runs"] == [1.0]
     assert data["q2"]["runs"] == [2.0, 1.8]
+
+
+def test_scale_up_cipher_maps_are_bijective_distinct_and_sf1_compatible():
+    """The scale instrument's disjoint-replica contract, pinned.
+
+    The original rotation keying wrapped at ``i % 26``: replica 26
+    reused replica 0's letter map, so a factor-30 build gave every
+    document a cross-replica near-dup twin — a silent artifact in any
+    dedup-family scale reading. The affine keying must (a) stay a
+    bijection per replica (the length/gram-collision-preserving
+    property every reading relies on), (b) be pairwise distinct across
+    the supported factor range, and (c) reproduce the historic
+    rotations for replicas 0..9 so the recorded sf1 evidence still
+    describes a regenerable instrument.
+    """
+    from scale_up import MAX_FACTOR, _affine_alphabet
+
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    digit = "0123456789"
+    letter_as = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    digit_as = (1, 3, 7, 9)
+    maps = []
+    for i in range(MAX_FACTOR):
+        lmap = _affine_alphabet(lower, letter_as, i)
+        dmap = _affine_alphabet(digit, digit_as, i)
+        assert sorted(lmap) == sorted(lower)  # bijection
+        assert sorted(dmap) == sorted(digit)
+        maps.append((lmap, dmap))
+    # replica 0 is the identity (byte-identical round trip)
+    assert maps[0] == (lower, digit)
+    # sf1 compatibility: replicas 0..9 are the historic pure rotations
+    for i in range(10):
+        assert maps[i][0] == lower[i:] + lower[:i]
+        assert maps[i][1] == digit[i:] + digit[:i]
+    # pairwise distinct across the whole supported range — the letter
+    # map alone must already distinguish replicas (vocabulary is
+    # letter-dominated); replica 26 vs 0 is the regression that started
+    # this
+    letter_maps = [m[0] for m in maps]
+    assert len(set(letter_maps)) == MAX_FACTOR
+    assert len({m[1] for m in maps}) == MAX_FACTOR
+    assert letter_maps[26] != letter_maps[0]

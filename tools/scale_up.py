@@ -12,14 +12,18 @@ substrate, so each replica must be statistically equivalent to the
 original yet not create cross-replica artifacts:
 
 - ``documents``: doc_id offset per replica; text renamed by a
-  LENGTH-PRESERVING per-character Caesar shift keyed by the replica id
-  (a bijection on [a-z]/[A-Z]/[0-9]). Every token boundary, length, and
-  within-replica shingle/gram collision is preserved exactly (shifted
-  k-grams collide iff the originals did) while replica vocabularies stay
-  disjoint up to rare coincidental word collisions — naive copies would put every doc in a FACTOR-sized
-  near-dup clique, and the earlier token-APPEND salt inflated char
-  volume 1.49x and distorted linear-in-chars scale readings (r7b
-  audit).
+  LENGTH-PRESERVING per-character affine cipher keyed by the replica id
+  (a bijection on [a-z]/[A-Z]/[0-9]; replicas 0..9 degenerate to the
+  historic Caesar rotations, so sf1 regenerates byte-identical). Every
+  token boundary, length, and within-replica shingle/gram collision is
+  preserved exactly (mapped k-grams collide iff the originals did)
+  while replica vocabularies stay disjoint up to rare coincidental word
+  collisions for every factor up to MAX_FACTOR — naive copies would put
+  every doc in a FACTOR-sized near-dup clique, the earlier token-APPEND
+  salt inflated char volume 1.49x and distorted linear-in-chars scale
+  readings (r7b audit), and the earlier pure-rotation keying wrapped at
+  ``i % 26`` (replica 26 = replica 0's letters), which a factor-30
+  build would have turned into silent cross-replica near-dup twins.
 - ``embeddings``: vec_id offset; elementwise deterministic ±1 sign
   pattern per replica. dot(s∘a, s∘b) == dot(a, b), so intra-replica
   cosine geometry (dd6/dd8/v3's subject) is preserved EXACTLY; cross-
@@ -101,6 +105,38 @@ def _offset(df: DataFrame, col: str, i: int, step: int) -> DataFrame:
     return df.withColumn(col, (F.col(col) + F.lit(i * step)).cast("long"))
 
 
+#: Replica ceiling for the text cipher: affine letter maps are distinct
+#: for i < 12*26 = 312, but digit maps repeat after 4*10 = 40, and a
+#: digit-map collision would let pure-digit tokens collide across
+#: replicas. 40 replicas (sf4 from sf0.1) is far beyond what this
+#: sandbox measures, so cap hard rather than document a soft edge.
+MAX_FACTOR = 40
+
+
+def _affine_alphabet(alphabet: str, coprimes: tuple[int, ...], i: int) -> str:
+    """Per-character affine bijection of ``alphabet``, keyed by replica.
+
+    Maps position j -> (a*j + b) mod n with a = coprimes[i // n] and
+    b = i % n, so replica maps are pairwise distinct for
+    i < len(coprimes)*n and — critically — i <= n-1 degenerates to
+    a=1, i.e. the pure Caesar rotation the sf1 instrument (factor 10,
+    i in 0..9) was built with: regenerating sf1 is byte-identical.
+
+    The previous pure-rotation keying wrapped at ``i % n``: at factor
+    30, replicas 26..29 reused the letter maps of replicas 0..3, giving
+    every document a near-identical cross-replica twin — a silent
+    FACTOR-dependent near-dup clique that would distort the dedup
+    family's scale readings (the exact artifact class the module doc
+    promises to avoid). Any per-character bijection preserves lengths,
+    token boundaries, and within-replica gram-collision structure, so
+    the affine extension keeps every documented instrument property.
+    """
+    n = len(alphabet)
+    a = coprimes[i // n]
+    b = i % n
+    return "".join(alphabet[(a * j + b) % n] for j in range(n))
+
+
 def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
     df = load_table(spark, src, table)
     if i == 0 or table not in SCALED:
@@ -129,10 +165,16 @@ def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
         lower = "abcdefghijklmnopqrstuvwxyz"
         upper = lower.upper()
         digit = "0123456789"
+        # affine (not rotation) keying so replica maps never repeat
+        # within MAX_FACTOR — see _affine_alphabet; replicas 0..9 (the
+        # whole sf1 instrument) reproduce the historic rotations exactly,
+        # so sf1 regenerates byte-identical
+        letter_as = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+        digit_as = (1, 3, 7, 9)
         shifted = (
-            lower[i % 26 :] + lower[: i % 26]
-            + upper[i % 26 :] + upper[: i % 26]
-            + digit[i % 10 :] + digit[: i % 10]
+            _affine_alphabet(lower, letter_as, i)
+            + _affine_alphabet(upper, letter_as, i)
+            + _affine_alphabet(digit, digit_as, i)
         )
         return df.withColumn(
             "text", F.translate("text", lower + upper + digit, shifted)
@@ -173,6 +215,12 @@ def _replica(spark: SparkSession, src: str, table: str, i: int) -> DataFrame:
 
 def main() -> None:
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    if not 1 <= factor <= MAX_FACTOR:
+        raise SystemExit(
+            f"factor must be in [1, {MAX_FACTOR}]: beyond that the digit "
+            f"cipher maps repeat and replicas stop being disjoint "
+            f"(see _affine_alphabet)"
+        )
     spark = get_spark("scale-up")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(dst, exist_ok=True)
