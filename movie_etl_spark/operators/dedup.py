@@ -365,6 +365,38 @@ def ngram_jaccard_pairs(
     return out
 
 
+def recommended_band_size(
+    n_vectors: int, n_bits: int = 24, target_bucket: int = 100
+) -> int:
+    """Corpus-sized sign-LSH band width for :func:`embedding_near_dup_pairs`.
+
+    Expected bucket occupancy on an unclustered corpus is
+    ``n_vectors / 2^band_size`` per band, so candidate volume — and with
+    it the exact-verify join — grows ~quadratically once buckets fill
+    (measured: the r10 sf3 scale audit read dd6 at 27× wall for 3× data
+    on 60k near-uniform vectors with the fixed 6-bit default, buckets
+    ~940 avg right under the 1000 cap; BASELINE.md "third scale point").
+    Sizing bands to ``log2(n / target_bucket)`` bits keeps expected
+    occupancy at ``target_bucket`` regardless of corpus size — the
+    production knob the operator docstring promises ("wider bands cut
+    compare volume geometrically"). The price is recall at LOW
+    similarity thresholds; at production thresholds (cosine >= 0.9,
+    per-bit agreement ~0.86) extra bits cost little (0.86^10 ≈ 0.22
+    per-band → 1-(1-0.22)^n_bands still high with enough bands).
+
+    Returns a band width in ``[1, n_bits]``; the caller keeps
+    ``n_bands = n_bits // band_size >= 1`` by construction. Not wired
+    into the catalog query, whose oracle pins the fixed 6-bit layout —
+    this is the documented upgrade path for real deployments.
+    """
+    import math
+
+    if n_vectors < 2:
+        return 1
+    bits = math.ceil(math.log2(n_vectors / max(target_bucket, 1)))
+    return max(1, min(bits, n_bits))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -289,6 +289,29 @@ def test_embedding_near_dup_pairs(spark):
     assert pairs[(0, 1)] > 0.999
 
 
+def test_recommended_band_size_tracks_corpus_scale():
+    """The sf3 scale audit's production knob: expected bucket occupancy
+    n/2^bits stays at the target as the corpus grows, monotonically,
+    within [1, n_bits] (BASELINE.md 'third scale point')."""
+    from movie_etl_spark.operators.dedup import recommended_band_size
+
+    # occupancy contract: n / 2^bits <= target (and one fewer bit busts it)
+    for n in (2_000, 20_000, 60_000, 10**6, 10**9):
+        bits = recommended_band_size(n, n_bits=24, target_bucket=100)
+        assert n / 2**bits <= 100
+        if bits < 24:
+            assert n / 2 ** (bits - 1) > 100 or bits == 1
+    # the sf3 reading: 60k near-uniform vectors need 10 bits, not the
+    # fixed 6 the oracle-pinned catalog query uses
+    assert recommended_band_size(60_000) == 10
+    assert recommended_band_size(2_000) == 5
+    # monotone in n, capped at n_bits, floored at 1
+    sizes = [recommended_band_size(n) for n in (10, 10**3, 10**6, 10**12)]
+    assert sizes == sorted(sizes)
+    assert recommended_band_size(10**12, n_bits=24) == 24
+    assert recommended_band_size(0) == 1 and recommended_band_size(1) == 1
+
+
 def test_embedding_near_dup_recall_on_clustered_corpus(spark):
     """Measured recall of the banded sign-LSH vs exact all-pairs truth
     at production thresholds, on a constructed clustered corpus (same
