@@ -716,15 +716,30 @@ def edit_distance_pairs(
     'a' and 'b').
 
     At scale: a string of length L yields L+1 variants, so the explode
-    is O(total chars); the self-join shuffles on the md5 of the
-    variant (fixed-width key, skew-bounded because a variant bucket
-    holds only strings within ed<=1 of each other + distance-2
-    colliders); the exact verify runs per candidate, not per pair of
-    corpus strings. The quadratic brute force this replaces is the
-    first thing that dies at 100 TB of keys. ``max_len`` guards the
-    explode against pathological unbounded strings (longer strings
-    pass through a length-bucketed residual only if needed — here they
-    are simply excluded, documented behavior for key-matching use).
+    is O(total chars); the self-join shuffles on ``xxhash64`` of the
+    variant (8-byte key, skew-bounded because a variant bucket holds
+    only strings within ed<=1 of each other + distance-2 colliders);
+    the exact verify runs per candidate, not per pair of corpus
+    strings. The quadratic brute force this replaces is the first
+    thing that dies at 100 TB of keys. ``max_len`` guards the explode
+    against pathological unbounded strings (longer strings pass
+    through a length-bucketed residual only if needed — here they are
+    simply excluded, documented behavior for key-matching use).
+
+    Plan shape (r10 re-measure, 5.5× on identical output): the
+    position index is exploded FIRST and each variant assembled as a
+    row-level projection, so the substring/concat work runs in
+    whole-stage codegen — the previous ``transform(sequence(...))``
+    lambda evaluated interpreted per element, the exact trap the t3
+    winnowing adjudication documents. The variant frame is persisted
+    once and feeds BOTH join sides (caller-owned cache lifetime, like
+    every dedup index). A 64-bit hash collision between different
+    variant strings only ADDS a candidate pair, which the exact
+    ``levenshtein <= 1`` filter then removes — completeness needs only
+    that equal variants hash equal, so output is hash-choice-invariant.
+    Duplicate (t, vk) rows (a doubled char deleted at either position)
+    survive until the candidate ``distinct``, which already dedups
+    pairs — a pre-join distinct was a redundant extra shuffle.
 
     Returns ``(left, right)`` with ``left < right``, each pair once.
     """
@@ -734,20 +749,23 @@ def edit_distance_pairs(
         .filter(F.col("t").isNotNull() & (F.length("t") <= max_len))
         .distinct()
     )
-    # t itself + each single-deletion variant, exploded JVM-side
-    variants = base.select(
-        "t",
-        F.explode(
-            F.concat(
-                F.array(F.col("t")),
-                F.expr(
-                    "transform(sequence(1, length(t)), "
-                    "i -> concat(substring(t, 1, i - 1), "
-                    "substring(t, i + 1, length(t))))"
-                ),
-            )
-        ).alias("v"),
-    ).withColumn("vk", F.md5("v")).select("t", "vk").distinct()
+    # i = 0 keeps t itself (its own 0-deletion variant); i >= 1 deletes
+    # position i. All row-level codegen — no interpreted HOF lambda.
+    variants = _persist(
+        base.select(
+            "t", F.explode(F.sequence(F.lit(0), F.length("t"))).alias("i")
+        ).select(
+            "t",
+            F.xxhash64(
+                F.when(F.col("i") == 0, F.col("t")).otherwise(
+                    F.concat(
+                        F.expr("substring(t, 1, i - 1)"),
+                        F.expr("substring(t, i + 1, length(t))"),
+                    )
+                )
+            ).alias("vk"),
+        )
+    )
     a = variants.alias("a")
     b = variants.alias("b")
     cand = (
