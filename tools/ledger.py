@@ -1,6 +1,15 @@
 """Driver-green ledger (VERDICT r9 item #2): derive each query's latest
-driver-green round from the committed ``CORRECTNESS_r*.json`` artifacts
+driver-green round from the ``CORRECTNESS_r*.json`` artifacts on disk
 and check ``DRIVER_PRIORITY`` against the rotation policy mechanically.
+
+Note (ADVICE r10): the glob reads the WORKING TREE, not git history —
+deliberately.  The moment a new round's driver artifact lands on disk,
+``current_round()`` advances and ``test_rotation.py`` goes red until
+``DRIVER_PRIORITY`` rotates; that red test is the intended forcing
+function at each round boundary.  Consequence: the new artifact and the
+rotated window should land in the same commit (or adjacent commits at
+the top of the round) so ``pytest`` is only red in the window where
+rotation is literally the next action.
 
 The round driver's correctness gate verifies only the FIRST 50 entries
 of ``__spark_entry__.queries()``; BASELINE.md's standing policy caps any
