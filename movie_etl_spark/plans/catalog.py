@@ -3231,7 +3231,12 @@ def q_dd6_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from movie_etl_spark.operators.dedup import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, "embedding", "vec_id", cosine_threshold=0.4)
+    # band_size pinned: the DuckDB oracle hashes the fixed 4x6-bit
+    # layout; the operator default (None) is corpus-sized via
+    # dedup.recommended_band_size (VERDICT r10 item 3)
+    return embedding_near_dup_pairs(
+        e, "embedding", "vec_id", cosine_threshold=0.4, band_size=6
+    )
 
 
 @register(
@@ -4307,7 +4312,10 @@ def q_dd8_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(e, "embedding", "vec_id", cosine_threshold=0.4)
+    # band_size pinned to the oracle's fixed 4x6-bit layout (see dd6)
+    pairs = embedding_near_dup_pairs(
+        e, "embedding", "vec_id", cosine_threshold=0.4, band_size=6
+    )
     return dup_clusters(
         pairs, e.select("vec_id"), "vec_id"
     )

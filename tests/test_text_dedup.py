@@ -349,13 +349,49 @@ def test_embedding_near_dup_recall_on_clustered_corpus(spark):
     found = {
         (r.id_a, r.id_b)
         for r in embedding_near_dup_pairs(
-            df, "embedding", "vec_id", cosine_threshold=0.9
+            df, "embedding", "vec_id", cosine_threshold=0.9, band_size=6
         ).collect()
     }
     recall = len(found & truth) / len(truth)
     assert recall >= 0.9, recall
     # precision is exact by construction (cosine verified on candidates)
     assert found <= truth
+
+    # the auto (corpus-sized) default narrows bands on a 200-vector
+    # corpus (recommended width 1 < 6 → strictly higher recall) and
+    # keeps exact precision: same truth set recovered
+    auto = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, "embedding", "vec_id", cosine_threshold=0.9
+        ).collect()
+    }
+    assert auto <= truth and len(auto & truth) / len(truth) >= 0.9
+    assert auto >= found  # narrower bands can only add candidates
+
+
+def test_auto_band_layout_tracks_corpus_and_dim():
+    """The wired form of the sf3 production knob (VERDICT r10 item 3):
+    band COUNT stays at the pinned layout's 4, band WIDTH grows with
+    log2(n) and is capped so all bands index real dims."""
+    from movie_etl_spark.operators.dedup import _auto_band_layout
+
+    # the four scale points: 500 / 2k / 20k / 60k vectors, 64 dims
+    assert _auto_band_layout(500, 64) == (4, 3)
+    assert _auto_band_layout(2_000, 64) == (4, 5)
+    assert _auto_band_layout(20_000, 64) == (4, 8)
+    assert _auto_band_layout(60_000, 64) == (4, 10)
+    # occupancy contract at the sf3 point: 60k / 2^10 ≈ 59 per bucket
+    # (the fixed 6-bit layout reads ~940, right under the 1000 cap)
+    assert 60_000 / 2 ** _auto_band_layout(60_000, 64)[1] <= 100
+    # a billion-vector corpus saturates at dim // n_bands = 16 bits
+    assert _auto_band_layout(10**9, 64) == (4, 16)
+    # narrow embeddings cap the width so every band indexes real dims
+    n_bands, width = _auto_band_layout(10**9, 8)
+    assert n_bands * width <= 8
+    # degenerate corpora floor at 1-bit bands
+    assert _auto_band_layout(0, 64)[1] == 1
+    assert _auto_band_layout(3, 64)[1] == 1
 
 
 def test_winnowed_fingerprints_properties(spark):

@@ -1,0 +1,81 @@
+"""Solo probe for the corpus-sized sign-LSH band layout (VERDICT r10
+item 3): times the dd6/dd8 pipeline shapes — embedding near-dup pairs
+(threshold 0.4, the catalog's non-vacuous setting) and the connected-
+components clustering over them — at a given scale directory, with the
+band width either pinned (the oracle's 6) or corpus-sized (the
+operator default).
+
+Usage::
+
+    python tools/band_probe.py <sf_dir> [auto|<band_size>]
+
+Prints one JSON line: chosen layout, wall per shape (end-to-end through
+the noop sink, same measurement as bench.py), and the surviving pair
+count (diagnostic, timed separately — band width changes candidate
+RECALL at low thresholds, so the auto path's pair count legitimately
+differs from the pinned oracle's; precision is exact either way).
+
+Evidence consumer: BASELINE.md "r11: corpus-sized bands" — the sf3
+audit read dd6 27x / dd8 21x wall for 3x data with the pinned width
+(BENCH_SF3.0.json 204.9 / 203.4 s); this probe is the like-for-like
+(solo, 8g) measurement of the auto default at the same scale points.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from movie_etl_spark.session import get_spark, load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    arg = sys.argv[2] if len(sys.argv) > 2 else "auto"
+    band_size = None if arg == "auto" else int(arg)
+
+    from movie_etl_spark.operators.dedup import (
+        _auto_band_layout,
+        dup_clusters,
+        embedding_near_dup_pairs,
+        release_indexes,
+    )
+
+    spark = get_spark("band_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    dim = len(e.select("embedding").first()[0])
+    layout = (
+        _auto_band_layout(n, dim) if band_size is None else (24 // band_size, band_size)
+    )
+
+    out = {"sf_dir": sf_dir, "n_vectors": n, "dim": dim,
+           "n_bands": layout[0], "band_size": layout[1]}
+    t0 = time.perf_counter()
+    pairs = embedding_near_dup_pairs(
+        e, "embedding", "vec_id", cosine_threshold=0.4, band_size=band_size
+    )
+    pairs.write.format("noop").mode("overwrite").save()
+    out["pairs_wall_s"] = round(time.perf_counter() - t0, 2)
+    out["n_pairs"] = pairs.count()
+    release_indexes()
+
+    t0 = time.perf_counter()
+    pairs = embedding_near_dup_pairs(
+        e, "embedding", "vec_id", cosine_threshold=0.4, band_size=band_size
+    )
+    dup_clusters(pairs, e.select("vec_id"), "vec_id").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["clusters_wall_s"] = round(time.perf_counter() - t0, 2)
+    release_indexes()
+    print(json.dumps(out, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
