@@ -2088,8 +2088,19 @@ def q_g2_full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("tt"), ok.cast("string")).alias("imdb_id"),
         ).alias("external_ids"),
     )
-    # one materialization feeds all 17 branch aggregates
-    clean = clean_movie_details(raw).localCheckpoint()
+    # one materialization feeds all 17 branch aggregates. DISK_ONLY
+    # (r11, VERDICT r10 item 4): the doc corpus is the fat frame here
+    # (nested cast/crew arrays); letting its checkpoint blocks occupy
+    # the storage half of unified memory starved execution at sf3/8g
+    # (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY). On disk the
+    # 17 branch re-reads stream through the OS page cache while the
+    # whole unified pool stays available to the branch sorts/aggs —
+    # measured A/B in BASELINE.md "r11: g2 at sf3/8g".
+    from pyspark.storagelevel import StorageLevel
+
+    clean = clean_movie_details(raw).localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
 
     companies = spark.range(1, 11).select(
         F.col("id").cast("int").alias("company_id"),
