@@ -94,6 +94,14 @@ def batched_fold_dot(a: Column | str, b: Column | str) -> Column:
     candidate joins) where the pair count, not the row count, dominates;
     keep the JVM fold for per-row work (norms, assignment scoring)
     where a Python stage costs more than it saves.
+
+    Malformed rows (ADVICE r10): a NULL vector on either side, or a
+    length mismatch between the two, yields NULL — the same result the
+    JVM ``zip_with``/``aggregate`` fold returns for those rows — instead
+    of an opaque Python-worker vstack error. NULL *elements* inside an
+    otherwise well-formed vector arrive from Arrow as NaN and propagate
+    as NaN (the JVM fold returns NULL there; no catalog path produces
+    element-nulls — embeddings are dense by schema).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -102,13 +110,37 @@ def batched_fold_dot(a: Column | str, b: Column | str) -> Column:
     # the stringified hints against the module namespace
     @pandas_udf("double")
     def _fold_dot(xa: pd.Series, xb: pd.Series) -> pd.Series:
-        if len(xa) == 0:
+        n = len(xa)
+        if n == 0:
             return pd.Series([], dtype=np.float64)
-        x = np.vstack(xa.to_numpy()).astype(np.float64)
-        y = np.vstack(xb.to_numpy()).astype(np.float64)
-        acc = np.zeros(len(x))
-        for j in range(x.shape[1]):
-            acc += x[:, j] * y[:, j]
-        return pd.Series(acc)
+        valid = np.fromiter(
+            (
+                ua is not None and ub is not None and len(ua) == len(ub)
+                for ua, ub in zip(xa, xb)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        out = np.full(n, np.nan)
+        if valid.any():
+            # group by dimension so mixed-width batches still vectorize;
+            # within a group the accumulation is the bit-identical
+            # dimension-by-dimension walk of the JVM fold
+            dims = np.fromiter(
+                (len(ua) if ok else -1 for ua, ok in zip(xa, valid)),
+                dtype=np.int64,
+                count=n,
+            )
+            for d in np.unique(dims[valid]):
+                idx = np.nonzero(dims == d)[0]
+                x = np.vstack(xa.iloc[idx].to_numpy()).astype(np.float64)
+                y = np.vstack(xb.iloc[idx].to_numpy()).astype(np.float64)
+                acc = np.zeros(len(idx))
+                for j in range(d):
+                    acc += x[:, j] * y[:, j]
+                out[idx] = acc
+        res = pd.Series(out).astype("Float64")
+        res[~valid] = pd.NA
+        return res
 
     return _fold_dot(_c(a), _c(b))

@@ -60,6 +60,17 @@ def bounded_state_partitions(spark, n: int = 8):
 
     Restores the caller's shuffle partitions on exit; the stream must
     start (and, for ``availableNow``, finish) inside the scope.
+
+    Scope caveat (ADVICE r10): ``spark.sql.shuffle.partitions`` is
+    SESSION-GLOBAL runtime conf — any concurrent batch query on the
+    same SparkSession while the scope is open silently plans with ``n``
+    shuffle partitions, and the context manager is not reentrant across
+    threads (last exit wins the restore). Fine for the single-threaded
+    bench/driver harness this serves; a multi-tenant session should
+    isolate with ``spark.newSession()`` (separate runtime conf, shared
+    context) instead of sharing one session through this scope. No
+    per-query conf exists for the state-store instance count as of
+    Spark 4.1.
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))

@@ -95,6 +95,43 @@ def test_batched_fold_dot_bitwise_equals_jvm_fold(spark):
     assert mismatches == 0
 
 
+def test_batched_fold_dot_null_and_ragged_rows_yield_null(spark):
+    """ADVICE r10: a NULL vector or a length mismatch must yield NULL —
+    the JVM fold's result for those rows — not an opaque Python-worker
+    vstack error; well-formed rows in the same Arrow batch (including
+    mixed widths) still compute bit-identically."""
+    from pyspark.sql import functions as F
+
+    from movie_etl_spark.functions.vectors import batched_fold_dot, dot_product
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),   # well-formed
+            (1, None, [1.0, 2.0, 3.0]),                # NULL left
+            (2, [1.0, 2.0, 3.0], None),                # NULL right
+            (3, [1.0, 2.0], [1.0, 2.0, 3.0]),          # ragged
+            (4, [2.0, 3.0], [4.0, 5.0]),               # mixed width, valid
+            (5, [], []),                                # zero-dim: fold = 0.0
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {
+        r["id"]: (r["jvm"], r["arrow"])
+        for r in df.select(
+            "id",
+            dot_product("a", "b").alias("jvm"),
+            batched_fold_dot("a", "b").alias("arrow"),
+        ).collect()
+    }
+    assert got[0] == (32.0, 32.0)
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)
+    # JVM zip_with pads the short side with NULL -> fold returns NULL
+    assert got[3] == (None, None)
+    assert got[4] == (23.0, 23.0)
+    assert got[5] == (0.0, 0.0)
+
+
 def test_ivf_exhaustive_probe_equals_brute_force(spark):
     """With n_probe == n_centroids, IVF probes everything: results must
     equal exact brute force — the recall ceiling sanity check."""

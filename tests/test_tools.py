@@ -127,6 +127,14 @@ def test_quietbench_set_aside_restores_on_failure(tmp_path):
     _restore(missing, None)
     _discard(None)
     assert not os.path.exists(missing)
+    # corrupt-replacement path (r10 ADVICE): bench.py killed mid-write
+    # leaves a truncated file — the backup must win over it
+    backup = _set_aside(path)
+    with open(path, "w") as f:
+        f.write('{"queries": {"q1": 1.2')  # truncated JSON
+    _restore(path, backup)
+    assert json.loads(open(path).read()) == {"fresh": True}
+    assert not os.path.exists(backup)
 
 
 def test_quietbench_merge_partial_run_keeps_other_queries(tmp_path):

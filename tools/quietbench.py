@@ -121,10 +121,21 @@ def _set_aside(path: str) -> str | None:
 
 def _restore(path: str, backup: str | None) -> None:
     """Failure path: put the pre-run file back if bench.py produced no
-    replacement, so a failed protocol run leaves the committed record
-    intact (the successful-run replacement is never overwritten)."""
-    if backup and not os.path.exists(path):
-        os.replace(backup, path)
+    usable replacement, so a failed protocol run leaves the committed
+    record intact. A replacement that exists but does not parse as JSON
+    (bench.py killed mid-write on TimeoutExpired — ADVICE r10) counts
+    as no replacement: the backup wins over a corrupt working-tree
+    record. A parseable replacement is never overwritten."""
+    if not backup:
+        return
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                json.load(f)
+            return  # replacement is valid JSON — keep it
+        except (json.JSONDecodeError, OSError):
+            pass
+    os.replace(backup, path)
 
 
 def _discard(backup: str | None) -> None:
