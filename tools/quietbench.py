@@ -132,7 +132,8 @@ def _restore(path: str, backup: str | None) -> None:
         try:
             with open(path) as f:
                 json.load(f)
-            return  # replacement is valid JSON — keep it
+            _discard(backup)  # replacement is valid JSON — keep it
+            return
         except (json.JSONDecodeError, OSError):
             pass
     os.replace(backup, path)
