@@ -394,6 +394,43 @@ def test_auto_band_layout_tracks_corpus_and_dim():
     assert _auto_band_layout(3, 64)[1] == 1
 
 
+def test_embedding_near_dup_auto_path_degenerate_corpora(spark):
+    """The auto (corpus-sized) default must survive the corpora a real
+    pipeline feeds it: empty frames (the count/dim aggregate reads
+    (0, NULL)), all-NULL vector columns, and embeddings narrower than
+    the 24-bit pinned layout assumes — no crash, exact-verify semantics
+    preserved."""
+    from movie_etl_spark.operators.dedup import embedding_near_dup_pairs
+
+    # empty corpus -> empty output (count=0, dim=NULL falls back)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_near_dup_pairs(empty, "embedding", "vec_id").count() == 0
+
+    # all-NULL vectors -> no pairs (norms are NULL, cosine filter drops)
+    nulls = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<double>"
+    )
+    assert embedding_near_dup_pairs(nulls, "embedding", "vec_id").count() == 0
+
+    # 4-dim embeddings (narrower than n_bits=24): width caps at
+    # dim // n_bands = 1, duplicates still found, exact precision holds
+    narrow = spark.createDataFrame(
+        [
+            (0, [1.0, -2.0, 3.0, 0.5]),
+            (1, [1.0, -2.0, 3.0, 0.5]),
+            (2, [-1.0, 2.0, -3.0, -0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            narrow, "embedding", "vec_id", cosine_threshold=0.9
+        ).collect()
+    }
+    assert set(got) == {(0, 1)} and got[(0, 1)] == 1.0
+
+
 def test_winnowed_fingerprints_properties(spark):
     from movie_etl_spark.functions.text import winnowed_fingerprints
 
