@@ -98,10 +98,12 @@ def batched_fold_dot(a: Column | str, b: Column | str) -> Column:
     Malformed rows (ADVICE r10): a NULL vector on either side, or a
     length mismatch between the two, yields NULL — the same result the
     JVM ``zip_with``/``aggregate`` fold returns for those rows — instead
-    of an opaque Python-worker vstack error. NULL *elements* inside an
-    otherwise well-formed vector arrive from Arrow as NaN and propagate
-    as NaN (the JVM fold returns NULL there; no catalog path produces
-    element-nulls — embeddings are dense by schema).
+    of an opaque Python-worker vstack error. A NaN ELEMENT inside a
+    well-formed vector propagates as a NaN dot product, matching the
+    JVM fold bit-for-bit; this needs the explicit-mask FloatingArray
+    return below — a plain float64 Series would have pyarrow's
+    ``from_pandas`` treat the NaN as a null sentinel and ship NULL
+    (which is what the pre-guard code silently did).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -139,8 +141,9 @@ def batched_fold_dot(a: Column | str, b: Column | str) -> Column:
                 for j in range(d):
                     acc += x[:, j] * y[:, j]
                 out[idx] = acc
-        res = pd.Series(out).astype("Float64")
-        res[~valid] = pd.NA
-        return res
+        # explicit mask: NULL exactly where the row was malformed; a
+        # computed NaN stays NaN through Arrow (astype("Float64") or a
+        # plain float64 Series would both turn NaN into NULL)
+        return pd.Series(pd.arrays.FloatingArray(out, mask=~valid))
 
     return _fold_dot(_c(a), _c(b))

@@ -487,16 +487,27 @@ def embedding_near_dup_pairs(
         stats = base.agg(
             F.count("*").alias("n"), F.min(F.size("_v")).alias("dim")
         ).first()
+        dim = stats["dim"] if stats["dim"] is not None else n_bits
         n_bands, band_size = _auto_band_layout(
-            stats["n"] or 0, stats["dim"] or n_bits, n_bits, target_bucket
+            stats["n"] or 0, dim, n_bits, target_bucket
         )
     else:
         n_bands = max(1, n_bits // band_size)
 
     def band_key(b: int) -> Column:
+        # try_element_at, not element_at: ANSI mode (Spark 4 default)
+        # makes out-of-range element_at THROW, so a corpus with vectors
+        # shorter than the band bit-range would crash the whole job.
+        # try_element_at reads NULL there -> the bit maps to '0' and
+        # the row still lands in a (degenerate) bucket the band-freq
+        # cap governs; the exact-cosine verify owns correctness either
+        # way. The auto layout caps width at min(size)//n_bands, so
+        # this only fires on zero-length vectors or explicit pinned
+        # widths wider than the data.
         bits = [
             F.when(
-                F.element_at(F.col("_v"), b * band_size + i + 1) >= 0, F.lit("1")
+                F.try_element_at(F.col("_v"), F.lit(b * band_size + i + 1)) >= 0,
+                F.lit("1"),
             ).otherwise(F.lit("0"))
             for i in range(band_size)
         ]

@@ -112,6 +112,7 @@ def test_batched_fold_dot_null_and_ragged_rows_yield_null(spark):
             (3, [1.0, 2.0], [1.0, 2.0, 3.0]),          # ragged
             (4, [2.0, 3.0], [4.0, 5.0]),               # mixed width, valid
             (5, [], []),                                # zero-dim: fold = 0.0
+            (6, [1.0, float("nan")], [1.0, 2.0]),      # NaN element
         ],
         "id long, a array<double>, b array<double>",
     )
@@ -130,6 +131,12 @@ def test_batched_fold_dot_null_and_ragged_rows_yield_null(spark):
     assert got[3] == (None, None)
     assert got[4] == (23.0, 23.0)
     assert got[5] == (0.0, 0.0)
+    # NaN element: BOTH paths read NaN (the explicit-mask FloatingArray
+    # return keeps a computed NaN from becoming NULL at the Arrow
+    # boundary — a plain float64 Series would ship NULL there)
+    import math
+
+    assert math.isnan(got[6][0]) and math.isnan(got[6][1])
 
 
 def test_ivf_exhaustive_probe_equals_brute_force(spark):

@@ -367,7 +367,9 @@ def test_embedding_near_dup_recall_on_clustered_corpus(spark):
         ).collect()
     }
     assert auto <= truth and len(auto & truth) / len(truth) >= 0.9
-    assert auto >= found  # narrower bands can only add candidates
+    # (no superset assertion vs the 6-bit layout: the two widths hash
+    # DIFFERENT dim ranges — width-1 bands read dims 0-3 while 6-bit
+    # bands read 0-23 — so neither candidate set contains the other)
 
 
 def test_auto_band_layout_tracks_corpus_and_dim():
@@ -429,6 +431,16 @@ def test_embedding_near_dup_auto_path_degenerate_corpora(spark):
         ).collect()
     }
     assert set(got) == {(0, 1)} and got[(0, 1)] == 1.0
+
+    # dim=0 corpus (zero-LENGTH arrays, not NULL): min(size)=0 must not
+    # fall back to the 24-bit assumption (`0 or 24` was the bug) — the
+    # width floors at 1, all rows share one degenerate bucket per band,
+    # and above max_band_freq the cap drops it outright: no candidate
+    # blow-up, no pairs (zero norms fail the cosine filter anyway)
+    zerodim = spark.createDataFrame(
+        [(i, []) for i in range(1200)], "vec_id long, embedding array<double>"
+    )
+    assert embedding_near_dup_pairs(zerodim, "embedding", "vec_id").count() == 0
 
 
 def test_winnowed_fingerprints_properties(spark):

@@ -48,8 +48,16 @@ def main() -> None:
     spark = get_spark("band_probe")
     spark.sparkContext.setLogLevel("ERROR")
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.count()
-    dim = len(e.select("embedding").first()[0])
+    # the operator's own (count, dim) aggregate — NULL-safe and
+    # identical to what embedding_near_dup_pairs(band_size=None) will
+    # compute, so the printed layout IS the layout being timed
+    from pyspark.sql import functions as F
+
+    stats = e.agg(
+        F.count("*").alias("n"), F.min(F.size("embedding")).alias("dim")
+    ).first()
+    n = stats["n"] or 0
+    dim = stats["dim"] if stats["dim"] is not None else 24
     layout = (
         _auto_band_layout(n, dim) if band_size is None else (24 // band_size, band_size)
     )

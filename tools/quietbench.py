@@ -122,18 +122,23 @@ def _set_aside(path: str) -> str | None:
 def _restore(path: str, backup: str | None) -> None:
     """Failure path: put the pre-run file back if bench.py produced no
     usable replacement, so a failed protocol run leaves the committed
-    record intact. A replacement that exists but does not parse as JSON
-    (bench.py killed mid-write on TimeoutExpired — ADVICE r10) counts
-    as no replacement: the backup wins over a corrupt working-tree
-    record. A parseable replacement is never overwritten."""
+    record recoverable. A replacement that exists but does not parse as
+    JSON (bench.py killed mid-write on TimeoutExpired — ADVICE r10)
+    counts as no replacement: the backup wins over a corrupt
+    working-tree record. A PARSEABLE replacement from a failed run is
+    kept for diagnosis, and the ``.bak`` deliberately stays on disk
+    beside it — these lossless files are gitignored or working-tree
+    records, so the backup is the only pre-run copy; discarding it here
+    would let a nonzero-exit run destroy the record it displaced. (The
+    success path discards the backup explicitly via :func:`_discard`.)
+    """
     if not backup:
         return
     if os.path.exists(path):
         try:
             with open(path) as f:
                 json.load(f)
-            _discard(backup)  # replacement is valid JSON — keep it
-            return
+            return  # parseable replacement kept; .bak kept beside it
         except (json.JSONDecodeError, OSError):
             pass
     os.replace(backup, path)
