@@ -104,6 +104,17 @@ def batched_fold_dot(a: Column | str, b: Column | str) -> Column:
     return below — a plain float64 Series would have pyarrow's
     ``from_pandas`` treat the NaN as a null sentinel and ship NULL
     (which is what the pre-guard code silently did).
+
+    KNOWN DIVERGENCE (ADVICE r11, accepted): a NULL ELEMENT inside a
+    well-formed vector. Arrow's list-to-numpy conversion materializes
+    child nulls as NaN before this UDF ever sees them, so element-level
+    NULL and NaN are indistinguishable here and the fold returns NaN,
+    while the JVM fold's ``v + NULL`` returns NULL. Both are
+    "poisoned-row" verdicts the downstream cosine/threshold filters
+    drop identically; distinguishing them would cost a per-row validity
+    walk on the hot path for no behavioral difference. Pinned by
+    tests/test_similarity.py::
+    test_batched_fold_dot_null_element_returns_nan.
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -484,10 +484,22 @@ def embedding_near_dup_pairs(
         )
     )
     if band_size is None:
+        # Size the layout from the HEALTHY majority: median vector width
+        # over non-empty rows.  min(size) was the r11 shape and it let a
+        # single zero-length (or truncated) vector collapse the band
+        # width to 1 bit for the WHOLE corpus — every 1-bit bucket then
+        # exceeds max_band_freq on corpora >~2*cap rows and the default
+        # path silently returned ZERO pairs (ADVICE r11, medium).
+        # Degenerate rows themselves stay safe: try_element_at reads
+        # NULL past a short vector, the bit maps to '0', and the
+        # exact-cosine verify owns correctness.  All-empty corpora read
+        # dim=NULL and fall back to n_bits (their single degenerate
+        # bucket is governed by the band cap either way).
         stats = base.agg(
-            F.count("*").alias("n"), F.min(F.size("_v")).alias("dim")
+            F.count("*").alias("n"),
+            F.median(F.when(F.size("_v") > 0, F.size("_v"))).alias("dim"),
         ).first()
-        dim = stats["dim"] if stats["dim"] is not None else n_bits
+        dim = int(stats["dim"]) if stats["dim"] is not None else n_bits
         n_bands, band_size = _auto_band_layout(
             stats["n"] or 0, dim, n_bits, target_bucket
         )
@@ -501,9 +513,11 @@ def embedding_near_dup_pairs(
         # try_element_at reads NULL there -> the bit maps to '0' and
         # the row still lands in a (degenerate) bucket the band-freq
         # cap governs; the exact-cosine verify owns correctness either
-        # way. The auto layout caps width at min(size)//n_bands, so
-        # this only fires on zero-length vectors or explicit pinned
-        # widths wider than the data.
+        # way. The auto layout sizes width from the MEDIAN non-empty
+        # vector width, so this fires on any row shorter than the
+        # corpus's typical dim (and on explicit pinned widths wider
+        # than the data) — by design: a minority of short rows must
+        # not shrink the whole corpus's layout.
         bits = [
             F.when(
                 F.try_element_at(F.col("_v"), F.lit(b * band_size + i + 1)) >= 0,

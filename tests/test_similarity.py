@@ -139,6 +139,31 @@ def test_batched_fold_dot_null_and_ragged_rows_yield_null(spark):
     assert math.isnan(got[6][0]) and math.isnan(got[6][1])
 
 
+def test_batched_fold_dot_null_element_returns_nan(spark):
+    """ADVICE r11 (accepted divergence, pinned): a NULL ELEMENT inside a
+    well-formed vector.  Arrow's list-to-numpy conversion materializes
+    child nulls as NaN before the UDF runs, so the Arrow path returns
+    NaN where the JVM fold's ``v + NULL`` returns NULL.  Both verdicts
+    are dropped identically by every downstream threshold filter; this
+    test exists so the divergence is a documented choice, not a
+    surprise — if it ever CHANGES (either path), that's the signal to
+    re-read the batched_fold_dot docstring's KNOWN DIVERGENCE note."""
+    import math
+
+    from movie_etl_spark.functions.vectors import batched_fold_dot, dot_product
+
+    df = spark.createDataFrame(
+        [(0, [1.0, None, 3.0], [4.0, 5.0, 6.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    row = df.select(
+        dot_product("a", "b").alias("jvm"),
+        batched_fold_dot("a", "b").alias("arrow"),
+    ).first()
+    assert row["jvm"] is None
+    assert row["arrow"] is not None and math.isnan(row["arrow"])
+
+
 def test_ivf_exhaustive_probe_equals_brute_force(spark):
     """With n_probe == n_centroids, IVF probes everything: results must
     equal exact brute force — the recall ceiling sanity check."""

@@ -432,15 +432,46 @@ def test_embedding_near_dup_auto_path_degenerate_corpora(spark):
     }
     assert set(got) == {(0, 1)} and got[(0, 1)] == 1.0
 
-    # dim=0 corpus (zero-LENGTH arrays, not NULL): min(size)=0 must not
-    # fall back to the 24-bit assumption (`0 or 24` was the bug) — the
-    # width floors at 1, all rows share one degenerate bucket per band,
-    # and above max_band_freq the cap drops it outright: no candidate
-    # blow-up, no pairs (zero norms fail the cosine filter anyway)
+    # dim=0 corpus (zero-LENGTH arrays, not NULL): empty rows are
+    # excluded from the dim statistic (r12, ADVICE r11), so an all-empty
+    # corpus reads dim=NULL and falls back to n_bits — every row shares
+    # one all-'0' degenerate bucket per band, above max_band_freq the
+    # cap drops it outright: no candidate blow-up, no pairs (zero norms
+    # fail the cosine filter anyway)
     zerodim = spark.createDataFrame(
         [(i, []) for i in range(1200)], "vec_id long, embedding array<double>"
     )
     assert embedding_near_dup_pairs(zerodim, "embedding", "vec_id").count() == 0
+
+
+def test_embedding_near_dup_auto_sizing_survives_one_malformed_row(spark):
+    """ADVICE r11 (medium) regression: the auto layout used to size the
+    band width from min(size(_v)), so ONE zero-length vector in a corpus
+    of >~2x max_band_freq rows collapsed the width to 1 bit, every 1-bit
+    bucket exceeded the cap and was dropped, and the default path
+    silently returned ZERO near-dup pairs — a total recall loss caused
+    by a single malformed row.  The statistic is now the median width
+    over non-empty vectors: the healthy majority sets the layout and the
+    planted duplicate pair survives."""
+    import numpy as np
+
+    from movie_etl_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(2100)]
+    dup = rng.standard_normal(16).tolist()
+    rows += [(9000, dup), (9001, list(dup)), (9002, [])]  # pair + malformed
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, "embedding", "vec_id", cosine_threshold=0.9
+        ).collect()
+    }
+    # pre-fix this set was empty (reproduced in ADVICE r11); random
+    # 16-dim collisions above 0.9 can add a handful of true extras, so
+    # pin membership, not equality
+    assert (9000, 9001) in pairs
 
 
 def test_winnowed_fingerprints_properties(spark):

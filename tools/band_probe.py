@@ -54,12 +54,17 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     stats = e.agg(
-        F.count("*").alias("n"), F.min(F.size("embedding")).alias("dim")
+        F.count("*").alias("n"),
+        F.median(F.when(F.size("embedding") > 0, F.size("embedding"))).alias("dim"),
     ).first()
     n = stats["n"] or 0
-    dim = stats["dim"] if stats["dim"] is not None else 24
+    dim = int(stats["dim"]) if stats["dim"] is not None else 24
+    # pinned path mirrors the operator's max(1, ...) floor (ADVICE r11:
+    # band_size > 24 used to print n_bands=0 while the operator ran 1)
     layout = (
-        _auto_band_layout(n, dim) if band_size is None else (24 // band_size, band_size)
+        _auto_band_layout(n, dim)
+        if band_size is None
+        else (max(1, 24 // band_size), band_size)
     )
 
     out = {"sf_dir": sf_dir, "n_vectors": n, "dim": dim,
