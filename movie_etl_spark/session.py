@@ -53,7 +53,13 @@ def get_spark(app_name: str = "movie-etl-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (benches measure compute, not the status
+        # store); SPARK_GRAFT_UI=true turns it on for probe runs that
+        # sample executor peakMemoryMetrics over its REST API
+        # (tools/memprobe.py, VERDICT r11 item 7). Port 0 = ephemeral,
+        # so concurrent probe sessions never collide.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.port", "0")
         # keep saveAsTable/bucketBy output out of the repo cwd (static
         # conf — must be set before the session exists)
         .config(

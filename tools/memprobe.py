@@ -1,0 +1,61 @@
+"""Executor peak-memory sampler (VERDICT r11 item 7).
+
+g2's sf3/8g OOM was found by the OOM itself; this instrument measures
+a run's memory ceiling BEFORE it kills the JVM.  Spark's executor
+heartbeats carry lifetime-peak memory metrics (JVM heap, unified/
+execution/storage memory, direct+mapped pools); the status store
+exposes them on the REST API at
+``/api/v1/applications/<id>/executors`` as ``peakMemoryMetrics``.
+
+The session must have its UI on (``SPARK_GRAFT_UI=true`` with
+``movie_etl_spark.session.get_spark``); with the UI off — the bench
+default, so timing runs never pay the status store — sampling returns
+``None`` and callers record ``peak_memory: null``.
+
+Semantics: the peaks are LIFETIME peaks of the JVM, monotone across
+queries in one session — sample after each step and the per-step
+delta attribution is "first step to push the ceiling", which is
+exactly the OOM-hunting question. Values are MiB, summed across
+executors (one driver-executor in local mode).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+#: REST metric -> short report key. OnHeapUnifiedMemory is the
+#: execution+storage pool the 8g ceiling actually governs; JVMHeapMemory
+#: is the whole-heap peak an OOM fires on.
+_METRICS = {
+    "JVMHeapMemory": "jvm_heap_mb",
+    "OnHeapUnifiedMemory": "unified_mb",
+    "OnHeapExecutionMemory": "execution_mb",
+    "OnHeapStorageMemory": "storage_mb",
+}
+
+
+def peak_memory(spark) -> dict[str, float] | None:
+    """Current lifetime-peak memory metrics of every executor, summed,
+    in MiB — or ``None`` when the UI/REST endpoint is unavailable."""
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app_id = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app_id}/executors"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            executors = json.load(resp)
+    except Exception:
+        return None
+    out = dict.fromkeys(_METRICS.values(), 0.0)
+    seen = False
+    for ex in executors:
+        peaks = ex.get("peakMemoryMetrics") or {}
+        for rest_key, short in _METRICS.items():
+            if rest_key in peaks:
+                out[short] += peaks[rest_key] / (1024 * 1024)
+                seen = True
+    if not seen:
+        return None
+    return {k: round(v, 1) for k, v in out.items()}
