@@ -76,6 +76,7 @@ def main() -> None:
     pairs.write.format("noop").mode("overwrite").save()
     out["pairs_wall_s"] = round(time.perf_counter() - t0, 2)
     out["n_pairs"] = pairs.count()
+    _sample_peak(spark, out, "pairs_peak_memory_mb")
     release_indexes()
 
     t0 = time.perf_counter()
@@ -86,8 +87,21 @@ def main() -> None:
         "overwrite"
     ).save()
     out["clusters_wall_s"] = round(time.perf_counter() - t0, 2)
+    _sample_peak(spark, out, "clusters_peak_memory_mb")
     release_indexes()
     print(json.dumps(out, separators=(",", ":")))
+
+
+def _sample_peak(spark, out: dict, key: str) -> None:
+    """Memory-ceiling column of the solo-probe protocol (VERDICT r11
+    item 7): lifetime-peak executor memory so far, sampled after each
+    shape — present only when the session runs with SPARK_GRAFT_UI=true
+    (the REST status store the sampler reads is off by default)."""
+    from tools.memprobe import peak_memory
+
+    mem = peak_memory(spark)
+    if mem is not None:
+        out[key] = mem
 
 
 if __name__ == "__main__":
