@@ -405,6 +405,14 @@ def recommended_band_size(
 #: layout implies and widens each band with the corpus.
 _PINNED_BAND_SIZE = 6
 
+#: largest ESTIMATED corpus (rows x (8 bytes x avg dim + row overhead))
+#: the exact-verify joins will broadcast. 256 MB clears the sf3 point
+#: (60k x 64 dims ~ 33 MB) with an order of magnitude to spare while
+#: staying far below driver/executor heap at the 8 GiB bench setting;
+#: a corpus past it pays the shuffled join, the right strategy once the
+#: corpus rather than the candidate pair stream dominates.
+_VERIFY_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
 
 def _auto_band_layout(
     n_vectors: int, dim: int, n_bits: int = 24, target_bucket: int = 100
@@ -483,6 +491,16 @@ def embedding_near_dup_pairs(
             F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(vec_col).alias("_n")
         )
     )
+    # One aggregate over the persisted base reads everything the two
+    # sizing decisions below need: the corpus count, the MEDIAN vector
+    # width over non-empty rows (band layout), and the average width
+    # (broadcast byte estimate).
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.median(F.when(F.size("_v") > 0, F.size("_v"))).alias("dim"),
+        F.avg(F.size("_v")).alias("avg_dim"),
+    ).first()
+    n_vectors = stats["n"] or 0
     if band_size is None:
         # Size the layout from the HEALTHY majority: median vector width
         # over non-empty rows.  min(size) was the r11 shape and it let a
@@ -495,16 +513,30 @@ def embedding_near_dup_pairs(
         # exact-cosine verify owns correctness.  All-empty corpora read
         # dim=NULL and fall back to n_bits (their single degenerate
         # bucket is governed by the band cap either way).
-        stats = base.agg(
-            F.count("*").alias("n"),
-            F.median(F.when(F.size("_v") > 0, F.size("_v"))).alias("dim"),
-        ).first()
         dim = int(stats["dim"]) if stats["dim"] is not None else n_bits
         n_bands, band_size = _auto_band_layout(
-            stats["n"] or 0, dim, n_bits, target_bucket
+            n_vectors, dim, n_bits, target_bucket
         )
     else:
         n_bands = max(1, n_bits // band_size)
+
+    # Verify-join strategy (r12, from a measured 8g OOM): the exact-
+    # verify joins fetch _v/_n onto every CANDIDATE PAIR, and candidate
+    # volume can exceed the corpus by orders of magnitude (the pinned
+    # 4x6 layout at 60k vectors emits ~113M pairs from a 30 MB corpus).
+    # Above Spark's 10 MB auto-broadcast threshold those joins regress
+    # to SortMergeJoin — SORTING the pair stream twice, with vectors
+    # attached, is the spill that took an 8 GiB heap to 90% (BASELINE.md
+    # "r12: sf3 catalog refresh").  A corpus small enough to broadcast
+    # streams the pairs through two in-stage hash joins instead: no
+    # pair-stream shuffle, no sort, no spill.  The cap keeps this
+    # 100 TB-safe: a genuinely large corpus (more than ~256 MB
+    # estimated) falls back to the shuffled join, which is the correct
+    # strategy when the corpus, not the pair stream, dominates.  Row
+    # results are identical either way — join strategy does not touch
+    # the cosine arithmetic.
+    est_bytes = n_vectors * ((stats["avg_dim"] or 0.0) * 8 + 48)
+    small_corpus = est_bytes <= _VERIFY_BROADCAST_MAX_BYTES
 
     def band_key(b: int) -> Column:
         # try_element_at, not element_at: ANSI mode (Spark 4 default)
@@ -548,21 +580,68 @@ def embedding_near_dup_pairs(
             .select("band_idx", "band_key")
         )
         bands = bands.join(over_cap, ["band_idx", "band_key"], "left_anti")
-    cand = (
-        bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-        .join(
-            bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key"),
-            ["band_idx", "band_key"],
+    # NOTE (r12): candidates are NOT deduplicated here. A pair that
+    # agrees in several bands appears once per band, but its exact
+    # cosine is identical in every copy, so deduplication commutes with
+    # the verify — and deferring it to AFTER the threshold filter
+    # shrinks the dedup's shuffle from the full candidate stream (113M
+    # rows at the sf3 pinned layout — the hash-aggregate that held the
+    # 8 GiB heap at 90%+) to the surviving pairs (~204k there, a ~550x
+    # reduction). The duplication factor is bounded by n_bands, and the
+    # extra cosine evaluations run fused in the same stage as the
+    # (typically broadcast) verify joins.
+    #
+    # Parallelism of the band self-join — the AQE trap this change
+    # exposed: with the big dedup exchange gone, the only exchange
+    # left under the heavy fused stage was the band-key shuffle, whose
+    # INPUT is tiny (240k skinny rows at sf3), and AQE coalesces by
+    # input bytes — blind to the ~500x join fan-out — so the 113M
+    # cosine evaluations landed on 2 post-coalesce partitions (measured:
+    # the first deferred-dedup probe serialized onto 2 tasks x 230 s+).
+    # Small corpora therefore BROADCAST the build side of the self-join
+    # (n_bands x n skinny rows, small whenever the corpus is): the
+    # fused stage then reads straight out of the persisted base's
+    # partitioning with ZERO pre-dedup shuffles, and per-task pair
+    # volume is bounded by rows-per-task x n_bands x max_band_freq
+    # regardless of bucket skew. Large corpora pin the shuffle's
+    # partition count explicitly (user-specified counts are exempt from
+    # AQE coalescing) so the wide stage stays wide at scale.
+    bands_b = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    if small_corpus:
+        bands_a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        bands_b = F.broadcast(bands_b)
+    else:
+        n_shuffle = int(
+            df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions",
+                str(df.sparkSession.sparkContext.defaultParallelism),
+            )
         )
+        bands_a = bands.select(
+            F.col(id_col).alias("id_a"), "band_idx", "band_key"
+        ).repartition(n_shuffle, "band_idx", "band_key")
+        bands_b = bands_b.repartition(n_shuffle, "band_idx", "band_key")
+    cand = (
+        bands_a.join(bands_b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
-    a = base.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    hint = F.broadcast if small_corpus else (lambda frame: frame)
+    a = hint(
+        base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+        )
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    b = hint(
+        base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
     )
     return (
         cand.join(a, "id_a")
@@ -572,6 +651,9 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
+        # multi-band survivors carry identical cosines — see the cand
+        # NOTE above for why dedup lives here, after the filter
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -474,6 +474,39 @@ def test_embedding_near_dup_auto_sizing_survives_one_malformed_row(spark):
     assert (9000, 9001) in pairs
 
 
+def test_embedding_near_dup_large_corpus_path_matches_broadcast_path(spark, monkeypatch):
+    """The verify pipeline picks its join strategy by estimated corpus
+    size (r12): small corpora broadcast the band-join build side and
+    both verify sides; corpora past _VERIFY_BROADCAST_MAX_BYTES fall
+    back to an explicitly-partitioned shuffle join (the 100 TB path —
+    the explicit count exempts the exchange from AQE's input-sized
+    coalescing, which is blind to the join's fan-out and otherwise
+    serializes the cosine stage).  Join strategy must never change the
+    result: force the fallback by zeroing the cap and pin set equality
+    against the broadcast plan."""
+    from movie_etl_spark.operators import dedup
+
+    rows = [
+        (i, [float(i % 7 == 0), 1.0, -1.0, float(i % 3), 2.0, -0.5])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        return {
+            (r.id_a, r.id_b, r.cosine)
+            for r in dedup.embedding_near_dup_pairs(
+                df, "embedding", "vec_id", cosine_threshold=0.9, band_size=3
+            ).collect()
+        }
+
+    small = run()
+    monkeypatch.setattr(dedup, "_VERIFY_BROADCAST_MAX_BYTES", 0)
+    large = run()
+    assert small == large
+    assert small  # non-vacuous: the constructed corpus has true dups
+
+
 def test_winnowed_fingerprints_properties(spark):
     from movie_etl_spark.functions.text import winnowed_fingerprints
 
