@@ -29,6 +29,161 @@ from movie_etl_spark.functions.vectors import (
 from movie_etl_spark.session import ensure_parallelism
 
 
+#: largest ESTIMATED assigned-corpus (rows x (8 x dim + overhead)) the
+#: IVF scoring stage will broadcast as per-centroid numpy matrices.
+#: Same reasoning as operators.dedup._VERIFY_BROADCAST_MAX_BYTES: the
+#: pair stream dwarfs the corpus at every realistic probe setting, so
+#: shipping each corpus vector ONCE per worker beats attaching two
+#: vectors to every pair; past the cap the shuffled join is the right
+#: strategy and the scoring falls back to the Arrow pair fold.
+_IVF_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _grouped_dot_pairs(
+    query_probes: DataFrame, corpus_assigned: DataFrame
+) -> DataFrame:
+    """(query_id, neighbor_id, dot, _qn, _cn) for every probe pair —
+    the pair-fan-out scoring stage of :func:`ivf_top_k`, computed
+    WITHOUT materializing vectors per pair.
+
+    Why this exists (r12, measured at sf3): the join path attaches two
+    ~512 B vectors to each of ~451M candidate pairs before the Arrow
+    fold — ~460 GB through the Python serializer for 60k vectors of
+    actual data, 200 of v3's 211 solo seconds. Here the assigned corpus
+    is shipped ONCE per worker as per-(centroid, dim) numpy matrices
+    (a Spark broadcast, ~33 MB at sf3) and a mapInPandas over the
+    query-probe rows emits dot blocks per centroid in bounded chunks.
+
+    Bit-parity contract: the dot accumulates dimension-by-dimension
+    (``acc += X[:, j] * q_j`` — one IEEE double multiply-add per pair
+    per dimension, in dimension order), exactly the walk of
+    :func:`~movie_etl_spark.functions.vectors.batched_fold_dot` and the
+    JVM ``zip_with``/``aggregate`` fold, so the emitted dots are
+    bit-identical to the join path's (pinned by
+    tests/test_similarity.py::test_ivf_grouped_path_matches_join_path).
+    Malformed pairs keep the fold's verdicts: NULL query vector or a
+    query/corpus length mismatch -> NULL dot (explicit Arrow mask);
+    a NaN element -> NaN dot (the FloatingArray return keeps pyarrow
+    from reading the NaN as a null sentinel). Self-pairs are emitted;
+    the caller filters them exactly like the join path does.
+
+    Downstream division, rounding, and ranking stay in Spark — this
+    stage moves ONLY the dot product across the Arrow boundary.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = query_probes.sparkSession
+
+    # centroid_id -> dim -> (ids, norms, matrix); built from one bounded
+    # collect (the broadcast-build collect of a dimension table, capped
+    # by _IVF_BROADCAST_MAX_BYTES at the call site)
+    buckets: dict = {}
+    for row in corpus_assigned.collect():
+        vec = row["c_vec_n"]
+        dim = -1 if vec is None else len(vec)
+        buckets.setdefault(row["centroid_id"], {}).setdefault(dim, []).append(
+            (row["neighbor_id"], row["_cn"], vec)
+        )
+    matrices = {
+        cid: {
+            dim: (
+                np.array([r[0] for r in rows], dtype=np.int64),
+                np.array(
+                    [float("nan") if r[1] is None else r[1] for r in rows],
+                    dtype=np.float64,
+                ),
+                np.array([r[2] for r in rows], dtype=np.float64)
+                if dim > 0
+                else np.zeros((len(rows), 0)),
+                np.array([r[1] is None for r in rows], dtype=bool),
+            )
+            for dim, rows in dims.items()
+        }
+        for cid, dims in buckets.items()
+    }
+    bc = spark.sparkContext.broadcast(matrices)
+
+    out_schema = (
+        "query_id long, neighbor_id long, dot double, _qn double, _cn double"
+    )
+
+    def score(batches):
+        by_cid = bc.value
+        for pdf in batches:
+            for cid, grp in pdf.groupby("centroid_id"):
+                dims = by_cid.get(cid)
+                if not dims:
+                    continue
+                qids = grp["query_id"].to_numpy()
+                qns = grp["_qn"].to_numpy(dtype=np.float64, na_value=np.nan)
+                # NULL-vs-NaN is decided JVM-side (_qn_null): Arrow's
+                # input conversion maps BOTH to float64 NaN, so isna()
+                # here would turn a legitimately-NaN norm into NULL —
+                # diverging from the join path (caught by the
+                # paths-equality test's NaN-element row)
+                qn_null = grp["_qn_null"].to_numpy(dtype=bool)
+                qvecs = grp["q_vec"].tolist()
+                for dim, (nids, cns, mat, cn_null) in dims.items():
+                    n_b = len(nids)
+                    # chunk the query side so the emitted block stays
+                    # bounded (~n_chunk x n_b rows per yield)
+                    n_chunk = max(1, 4_000_000 // max(n_b, 1))
+                    for lo in range(0, len(qids), n_chunk):
+                        hi = min(lo + n_chunk, len(qids))
+                        q_list = qvecs[lo:hi]
+                        valid = np.array(
+                            [q is not None and len(q) == dim for q in q_list],
+                            dtype=bool,
+                        )
+                        n_q = hi - lo
+                        dot = np.full((n_q, n_b), np.nan)
+                        if valid.any() and dim > 0:
+                            qm = np.array(
+                                [
+                                    q_list[i]
+                                    for i in range(n_q)
+                                    if valid[i]
+                                ],
+                                dtype=np.float64,
+                            )
+                            acc = np.zeros((qm.shape[0], n_b))
+                            for j in range(dim):
+                                acc += np.outer(qm[:, j], mat[:, j])
+                            dot[valid] = acc
+                        elif valid.any():
+                            dot[valid] = 0.0  # zero-dim fold = 0.0
+                        mask = np.broadcast_to(
+                            ~valid[:, None], (n_q, n_b)
+                        ).ravel()
+                        yield pd.DataFrame(
+                            {
+                                "query_id": np.repeat(qids[lo:hi], n_b),
+                                "neighbor_id": np.tile(nids, n_q),
+                                "dot": pd.arrays.FloatingArray(
+                                    dot.ravel(), mask=mask.copy()
+                                ),
+                                "_qn": pd.arrays.FloatingArray(
+                                    np.repeat(qns[lo:hi], n_b),
+                                    mask=np.repeat(qn_null[lo:hi], n_b),
+                                ),
+                                "_cn": pd.arrays.FloatingArray(
+                                    np.tile(cns, n_q),
+                                    mask=np.tile(cn_null, n_q),
+                                ),
+                            }
+                        )
+
+    probes = query_probes.select(
+        "centroid_id",
+        "query_id",
+        "q_vec",
+        "_qn",
+        F.col("_qn").isNull().alias("_qn_null"),
+    )
+    return probes.mapInPandas(score, out_schema)
+
+
 def _ranked_top_k(scored: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k per query: rank by rounded similarity desc,
     then neighbor id asc (total order — reproducible under ties)."""
@@ -223,24 +378,46 @@ def ivf_top_k(
             .filter(F.col("_rn") <= n_probe)
             .select("query_id", "q_vec", "_qn", "centroid_id")
         )
-    # the candidate join is the pair-dominant stage (~|Q| * n_probe/n_centroids
-    # * |C| pairs — 50M at sf1): score it with the Arrow-batched fold,
-    # bit-identical to the JVM fold but vectorized per batch instead of
-    # interpreted per element (r10 A/B: 31.4 -> 18.9 s at sf1). The
-    # assignment pass above stays JVM-side — its pair count is only
-    # N * n_centroids and a Python stage there costs more than it saves.
+    # The candidate fan-out is the pair-dominant stage (~|Q| *
+    # n_probe/n_centroids * |C| pairs — 451M at sf3). Strategy by
+    # measured corpus size (r12; BASELINE.md "r12: IVF scoring"):
+    # a broadcastable corpus ships ONCE per worker as per-centroid
+    # matrices and a mapInPandas emits dot blocks (the join path
+    # attached two ~512 B vectors to every pair — ~460 GB through
+    # Arrow at sf3, 200 of v3's 211 solo seconds); past the cap the
+    # equi-join + Arrow pair fold below is the right shape (r10 A/B:
+    # 31.4 -> 18.9 s at sf1 vs the interpreted JVM fold). Both dots
+    # are bit-identical dimension walks; division, rounding, and
+    # ranking stay in Spark either way. The assignment pass above is
+    # JVM-side always — its pair count is only N * n_centroids.
     denom = F.col("_qn") * F.col("_cn")
-    scored = (
-        query_probes.join(corpus_assigned, "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                F.when(denom > 0, batched_fold_dot("q_vec", "c_vec_n") / denom),
-                6,
-            ),
+    stats = corpus.agg(
+        F.count("*").alias("n"), F.avg(F.size(vec_col)).alias("d")
+    ).first()
+    est_bytes = (stats["n"] or 0) * ((stats["d"] or 0.0) * 8 + 48)
+    if est_bytes <= _IVF_BROADCAST_MAX_BYTES:
+        scored = (
+            _grouped_dot_pairs(query_probes, corpus_assigned)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cosine",
+                F.round(F.when(denom > 0, F.col("dot") / denom), 6),
+            )
         )
-    )
+    else:
+        scored = (
+            query_probes.join(corpus_assigned, "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cosine",
+                F.round(
+                    F.when(
+                        denom > 0, batched_fold_dot("q_vec", "c_vec_n") / denom
+                    ),
+                    6,
+                ),
+            )
+        )
     return _ranked_top_k(scored, k)
 
 
