@@ -420,3 +420,20 @@ def test_ivf_grouped_path_matches_join_path(spark, monkeypatch):
 
     assert canon(grouped) == canon(joined)
     assert grouped  # non-vacuous
+
+
+def test_ivf_small_corpus_plan_uses_grouped_scoring(spark):
+    """Plan pin for the r12 IVF scoring rebuild: on a broadcastable
+    corpus the pair-fan-out stage must be the mapInPandas dot-block
+    stage with NO join of the pair stream — a SortMergeJoin or a
+    centroid_id equi-join reappearing here means the scoring regressed
+    to attaching vectors per pair (~460 GB through Arrow at sf3;
+    BASELINE.md "r12: IVF scoring")."""
+    from movie_etl_spark.operators.similarity import ivf_top_k
+    from movie_etl_spark.session import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    df = ivf_top_k(e, e, k=3, n_centroids=64, n_probe=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan

@@ -645,3 +645,24 @@ def test_edit_distance_pairs_max_len_guard(spark):
     }
     # the 99/100-char pair is excluded by the guard; short/shore found
     assert got == {("shore", "short")}
+
+
+def test_embedding_near_dup_small_corpus_plan_is_all_broadcast(spark):
+    """Plan pin for the r12 verify pipeline: on a broadcastable corpus
+    every join in embedding_near_dup_pairs must be a BroadcastHashJoin
+    — a SortMergeJoin here means either the verify sides regressed to
+    shuffling the pair stream (the 8g-ceiling shape) or the band
+    self-join fell back to the exchange AQE coalesces by input size,
+    blind to its ~500x fan-out (the 2-task serialization shape).
+    BASELINE.md "r12: verify pipeline" records both failure modes with
+    measurements."""
+    from movie_etl_spark.operators.dedup import embedding_near_dup_pairs
+    from movie_etl_spark.session import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    df = embedding_near_dup_pairs(
+        e, "embedding", "vec_id", cosine_threshold=0.4, band_size=6
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # band join + two verify sides
