@@ -44,6 +44,28 @@ def sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def lossless_target(selected: bool, sf_dir: str, failed: bool) -> str:
+    """Name of the lossless record this run may write.
+
+    Full-catalog runs at the default sf own BENCH_LOCAL.json; subset
+    runs and alternate-scale runs own their respective files and must
+    not clobber it.  Failed-run safety (VERDICT r12 item #3): a run
+    with errors writes its value-null record to a SIDECAR
+    (<name>.err.json) and leaves the last good record untouched — an
+    errored sf3 sweep used to clobber the committed BENCH_SF3.0.json
+    until git restore.
+    """
+    if selected:
+        local = "BENCH_SUBSET.json"
+    elif sf_dir != "/root/testdata/sf0.1":
+        local = f"BENCH_SF{sf_from_dir(sf_dir)}.json"
+    else:
+        local = "BENCH_LOCAL.json"
+    if failed:
+        local = local[: -len(".json")] + ".err.json"
+    return local
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,15 +113,7 @@ def main() -> None:
     if errors:
         out["n_failed"] = len(errors)
         out["errors"] = errors
-    # full-catalog runs at the DEFAULT sf own BENCH_LOCAL.json (the
-    # committed lossless record); subset runs and alternate-scale runs
-    # (e.g. the sf1 scale sweep) must not clobber it
-    if selected:
-        local = "BENCH_SUBSET.json"
-    elif SF_DIR != "/root/testdata/sf0.1":
-        local = f"BENCH_SF{sf_from_dir(SF_DIR)}.json"
-    else:
-        local = "BENCH_LOCAL.json"
+    local = lossless_target(bool(selected), SF_DIR, bool(errors))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            local), "w") as f:
         json.dump(out, f, indent=1)

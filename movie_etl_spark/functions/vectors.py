@@ -105,14 +105,28 @@ def batched_fold_dot(a: Column | str, b: Column | str) -> Column:
     ``from_pandas`` treat the NaN as a null sentinel and ship NULL
     (which is what the pre-guard code silently did).
 
-    KNOWN DIVERGENCE (ADVICE r11, accepted): a NULL ELEMENT inside a
-    well-formed vector. Arrow's list-to-numpy conversion materializes
-    child nulls as NaN before this UDF ever sees them, so element-level
-    NULL and NaN are indistinguishable here and the fold returns NaN,
-    while the JVM fold's ``v + NULL`` returns NULL. Both are
-    "poisoned-row" verdicts the downstream cosine/threshold filters
-    drop identically; distinguishing them would cost a per-row validity
-    walk on the hot path for no behavioral difference. Pinned by
+    KNOWN DIVERGENCE (ADVICE r11, accepted; rationale corrected per
+    ADVICE r12): a NULL ELEMENT inside a well-formed vector. Arrow's
+    list-to-numpy conversion materializes child nulls as NaN before
+    this UDF ever sees them, so element-level NULL and NaN are
+    indistinguishable here and the fold returns NaN, while the JVM
+    fold's ``v + NULL`` returns NULL. The two verdicts are NOT
+    behaviorally interchangeable in general — Spark and DuckDB both
+    order NaN ABOVE every number, so a bare NaN dot passes ``>=``
+    threshold filters and ranks FIRST descending, while NULL is
+    filtered out / ranks last. The divergence is nonetheless invisible
+    in every shipped call site because the dot never reaches a verdict
+    bare: it is divided by a product of JVM-computed ``l2_norm`` values
+    (``cosine_from_norms`` / the IVF ``_qn * _cn`` denominators), and a
+    NULL element makes that JVM norm NULL, which makes the guarded
+    cosine ``F.when(denom > 0, ...)`` NULL on BOTH paths. Masking NaN
+    dots to NULL at the Arrow boundary (the other direction) is
+    deliberately NOT done: a genuine NaN ELEMENT produces a NaN dot in
+    the JVM fold too, and NaN-ranks-first is the semantics both Spark
+    and the DuckDB oracle share — masking would break the bitwise
+    parity this function exists to guarantee. Callers using
+    ``batched_fold_dot`` bare (no norm denominator) on corpora with
+    NULL elements own the NULL-vs-NaN difference. Pinned by
     tests/test_similarity.py::
     test_batched_fold_dot_null_element_returns_nan.
     """

@@ -413,6 +413,15 @@ _PINNED_BAND_SIZE = 6
 #: corpus rather than the candidate pair stream dominates.
 _VERIFY_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
+#: row bound on the band self-join's broadcast side (ADVICE r12): the
+#: band relation is n_vectors x n_bands SKINNY rows whose size is
+#: dim-independent, so a low-dim corpus could pass the vector-byte cap
+#: above while still implying a multi-million-row broadcast hash
+#: relation (~100 B/row hashed). 4M rows keeps that relation under a
+#: few hundred MB regardless of vector width; past it the explicit-
+#: partition-count shuffle path is the right strategy anyway.
+_BAND_BROADCAST_MAX_ROWS = 4_000_000
+
 
 def _auto_band_layout(
     n_vectors: int, dim: int, n_bits: int = 24, target_bucket: int = 100
@@ -493,13 +502,15 @@ def embedding_near_dup_pairs(
     )
     # One aggregate over the persisted base reads everything the two
     # sizing decisions below need: the corpus count, the MEDIAN vector
-    # width over non-empty rows (band layout), and the average width
+    # width over non-empty rows (band layout — only computed when the
+    # caller did NOT pin band_size; ADVICE r12), and the average width
     # (broadcast byte estimate).
-    stats = base.agg(
-        F.count("*").alias("n"),
-        F.median(F.when(F.size("_v") > 0, F.size("_v"))).alias("dim"),
-        F.avg(F.size("_v")).alias("avg_dim"),
-    ).first()
+    stat_cols = [F.count("*").alias("n"), F.avg(F.size("_v")).alias("avg_dim")]
+    if band_size is None:
+        stat_cols.append(
+            F.median(F.when(F.size("_v") > 0, F.size("_v"))).alias("dim")
+        )
+    stats = base.agg(*stat_cols).first()
     n_vectors = stats["n"] or 0
     if band_size is None:
         # Size the layout from the HEALTHY majority: median vector width
@@ -535,8 +546,17 @@ def embedding_near_dup_pairs(
     # strategy when the corpus, not the pair stream, dominates.  Row
     # results are identical either way — join strategy does not touch
     # the cosine arithmetic.
+    # Both broadcast decisions live in one predicate: the vector-byte
+    # cap governs the verify joins (a/b carry _v), and the ROW bound
+    # governs the band self-join's build side — n_vectors x n_bands
+    # skinny rows whose size is dim-independent, so the byte cap alone
+    # would let a low-dim corpus broadcast a multi-million-row hash
+    # relation (ADVICE r12).
     est_bytes = n_vectors * ((stats["avg_dim"] or 0.0) * 8 + 48)
-    small_corpus = est_bytes <= _VERIFY_BROADCAST_MAX_BYTES
+    small_corpus = (
+        est_bytes <= _VERIFY_BROADCAST_MAX_BYTES
+        and n_vectors * n_bands <= _BAND_BROADCAST_MAX_ROWS
+    )
 
     def band_key(b: int) -> Column:
         # try_element_at, not element_at: ANSI mode (Spark 4 default)

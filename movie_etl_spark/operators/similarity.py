@@ -69,43 +69,72 @@ def _grouped_dot_pairs(
 
     Downstream division, rounding, and ranking stay in Spark — this
     stage moves ONLY the dot product across the Arrow boundary.
+
+    Id columns keep their source types (ADVICE r12, medium): the output
+    schema is derived from the input schemas and the id arrays keep the
+    Arrow-native dtype (int64 for integral ids, object for strings), so
+    string-keyed corpora score through the same grouped path.  The
+    matrices are built from ONE Arrow collect (``toArrow``) — numpy
+    slices of the flat child buffer, never per-element Python floats —
+    so driver RSS tracks the ~2x the Arrow byte estimate instead of the
+    5-10x that Row objects cost (ADVICE r12); the resulting broadcast is
+    registered with :func:`~movie_etl_spark.session.broadcast_tracked`
+    and destroyed by ``release_caches`` alongside the caches.
     """
     import numpy as np
     import pandas as pd
 
+    from movie_etl_spark.session import broadcast_tracked
+
     spark = query_probes.sparkSession
 
-    # centroid_id -> dim -> (ids, norms, matrix); built from one bounded
-    # collect (the broadcast-build collect of a dimension table, capped
-    # by _IVF_BROADCAST_MAX_BYTES at the call site)
-    buckets: dict = {}
-    for row in corpus_assigned.collect():
-        vec = row["c_vec_n"]
-        dim = -1 if vec is None else len(vec)
-        buckets.setdefault(row["centroid_id"], {}).setdefault(dim, []).append(
-            (row["neighbor_id"], row["_cn"], vec)
+    # centroid_id -> dim -> (ids, norms, matrix, norm-null-mask); built
+    # from one bounded Arrow collect (capped by _IVF_BROADCAST_MAX_BYTES
+    # at the call site)
+    tbl = corpus_assigned.select(
+        "centroid_id", "neighbor_id", "_cn", "c_vec_n"
+    ).toArrow()
+    n_rows = tbl.num_rows
+    matrices: dict = {}
+    if n_rows:
+        tbl = tbl.combine_chunks()
+        cids = tbl.column("centroid_id").chunk(0).to_numpy(zero_copy_only=False)
+        nids = tbl.column("neighbor_id").chunk(0).to_numpy(zero_copy_only=False)
+        cn_chunk = tbl.column("_cn").chunk(0)
+        cns = cn_chunk.to_numpy(zero_copy_only=False)  # NaN at nulls
+        cn_null = cn_chunk.is_null().to_numpy(zero_copy_only=False)
+        vec_chunk = tbl.column("c_vec_n").chunk(0)
+        # flat child buffer + offsets: row i's vector is flat[off[i]:off[i+1]].
+        # Child nulls surface as NaN — the same collapse the Arrow INPUT
+        # path applies to q_vec, so both sides see identical doubles.
+        flat = vec_chunk.values.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
         )
-    matrices = {
-        cid: {
-            dim: (
-                np.array([r[0] for r in rows], dtype=np.int64),
-                np.array(
-                    [float("nan") if r[1] is None else r[1] for r in rows],
-                    dtype=np.float64,
-                ),
-                np.array([r[2] for r in rows], dtype=np.float64)
-                if dim > 0
-                else np.zeros((len(rows), 0)),
-                np.array([r[1] is None for r in rows], dtype=bool),
+        offsets = vec_chunk.offsets.to_numpy(zero_copy_only=False)
+        dims = np.diff(offsets)
+        dims[vec_chunk.is_null().to_numpy(zero_copy_only=False)] = -1
+        groups = pd.DataFrame(
+            {"cid": cids, "dim": dims, "row": np.arange(n_rows)}
+        ).groupby(["cid", "dim"], sort=False)
+        for (cid, dim), grp in groups:
+            idx = grp["row"].to_numpy()
+            if dim > 0:
+                mat = flat[offsets[idx][:, None] + np.arange(dim)[None, :]]
+            else:
+                mat = np.zeros((len(idx), 0))
+            matrices.setdefault(cid, {})[int(dim)] = (
+                nids[idx],
+                cns[idx],
+                mat,
+                cn_null[idx],
             )
-            for dim, rows in dims.items()
-        }
-        for cid, dims in buckets.items()
-    }
-    bc = spark.sparkContext.broadcast(matrices)
+    bc = broadcast_tracked(spark.sparkContext.broadcast(matrices))
 
+    q_ddl = query_probes.schema["query_id"].dataType.simpleString()
+    n_ddl = corpus_assigned.schema["neighbor_id"].dataType.simpleString()
     out_schema = (
-        "query_id long, neighbor_id long, dot double, _qn double, _cn double"
+        f"query_id {q_ddl}, neighbor_id {n_ddl}, "
+        "dot double, _qn double, _cn double"
     )
 
     def score(batches):
@@ -368,7 +397,11 @@ def ivf_top_k(
             "centroid_id",
         )
     else:
-        corpus_assigned = (
+        from movie_etl_spark.session import cache_tracked
+
+        # cached: read twice — once by the sizing stats below, once by
+        # the scoring stage (grouped collect or equi-join)
+        corpus_assigned = cache_tracked(
             assign(corpus, "neighbor_id", "c_vec_n", "_cn")
             .filter(F.col("_rn") == 1)
             .select("neighbor_id", "c_vec_n", "_cn", "centroid_id")
@@ -391,11 +424,33 @@ def ivf_top_k(
     # ranking stay in Spark either way. The assignment pass above is
     # JVM-side always — its pair count is only N * n_centroids.
     denom = F.col("_qn") * F.col("_cn")
-    stats = corpus.agg(
-        F.count("*").alias("n"), F.avg(F.size(vec_col)).alias("d")
+    # Sizing stats read the CACHED assignment (ADVICE r12): in the
+    # self-search case corpus_assigned slices the cached ranked frame,
+    # in the two-sided case it is cache_tracked above — either way the
+    # agg warms the cache the scoring stage re-reads, instead of paying
+    # an extra full scan of the raw corpus per call.
+    stats = corpus_assigned.agg(
+        F.count("*").alias("n"), F.avg(F.size("c_vec_n")).alias("d")
     ).first()
     est_bytes = (stats["n"] or 0) * ((stats["d"] or 0.0) * 8 + 48)
-    if est_bytes <= _IVF_BROADCAST_MAX_BYTES:
+    # The grouped path materializes id arrays in numpy; integral and
+    # string ids round-trip Arrow with their source types (the output
+    # schema is derived from the inputs). Anything more exotic
+    # (decimal, date, struct keys) takes the join path, which is
+    # type-generic (ADVICE r12, medium).
+    from pyspark.sql import types as T
+
+    _grouped_id_ok = all(
+        isinstance(
+            frame.schema[col].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
+        )
+        for frame, col in (
+            (corpus_assigned, "neighbor_id"),
+            (query_probes, "query_id"),
+        )
+    )
+    if _grouped_id_ok and est_bytes <= _IVF_BROADCAST_MAX_BYTES:
         scored = (
             _grouped_dot_pairs(query_probes, corpus_assigned)
             .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -123,6 +123,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 #: via :func:`release_caches` after consuming each result.
 _CACHED: list[DataFrame] = []
 
+#: sparkContext.broadcast handles built by operators (the IVF grouped-
+#: scoring matrices). Unlike SQL-plan broadcasts (which the JVM
+#: reference-tracks), a pickled sc.broadcast lives until destroy() — a
+#: long bench session calling ivf_top_k repeatedly would otherwise
+#: accumulate broadcast blocks in the driver and executors (ADVICE r12).
+_BROADCASTS: list = []
+
 
 def cache_tracked(df: DataFrame) -> DataFrame:
     """persist() with caller-owned lifetime (see :func:`release_caches`)."""
@@ -131,10 +138,19 @@ def cache_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def broadcast_tracked(bc):
+    """Register an sc.broadcast for release alongside the caches."""
+    _BROADCASTS.append(bc)
+    return bc
+
+
 def release_caches(blocking: bool = False) -> None:
-    """Unpersist every operator-cached DataFrame registered so far."""
+    """Unpersist every operator-cached DataFrame and destroy every
+    operator-built sc.broadcast registered so far."""
     while _CACHED:
         _CACHED.pop().unpersist(blocking=blocking)
+    while _BROADCASTS:
+        _BROADCASTS.pop().destroy()
 
 
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:

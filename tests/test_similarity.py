@@ -140,14 +140,19 @@ def test_batched_fold_dot_null_and_ragged_rows_yield_null(spark):
 
 
 def test_batched_fold_dot_null_element_returns_nan(spark):
-    """ADVICE r11 (accepted divergence, pinned): a NULL ELEMENT inside a
-    well-formed vector.  Arrow's list-to-numpy conversion materializes
-    child nulls as NaN before the UDF runs, so the Arrow path returns
-    NaN where the JVM fold's ``v + NULL`` returns NULL.  Both verdicts
-    are dropped identically by every downstream threshold filter; this
-    test exists so the divergence is a documented choice, not a
-    surprise — if it ever CHANGES (either path), that's the signal to
-    re-read the batched_fold_dot docstring's KNOWN DIVERGENCE note."""
+    """ADVICE r11 (accepted divergence, pinned; rationale corrected per
+    ADVICE r12): a NULL ELEMENT inside a well-formed vector.  Arrow's
+    list-to-numpy conversion materializes child nulls as NaN before the
+    UDF runs, so the Arrow path returns NaN where the JVM fold's
+    ``v + NULL`` returns NULL.  NaN and NULL verdicts are NOT
+    interchangeable bare (Spark and DuckDB both rank NaN FIRST
+    descending and pass it through ``>=`` filters, while NULL drops) —
+    the divergence is acceptable only because every shipped call site
+    divides the dot by a JVM-computed norm product that a NULL element
+    turns NULL, making the guarded cosine NULL on BOTH paths.  Masking
+    NaN→NULL at the Arrow boundary would break bitwise parity with the
+    JVM fold for genuine NaN elements.  If this test ever CHANGES
+    (either path), re-read the batched_fold_dot KNOWN DIVERGENCE note."""
     import math
 
     from movie_etl_spark.functions.vectors import batched_fold_dot, dot_product
@@ -437,3 +442,85 @@ def test_ivf_small_corpus_plan_uses_grouped_scoring(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_top_k_string_ids_grouped_path(spark, monkeypatch):
+    """ADVICE r12 (medium): the grouped scoring path hardcoded bigint
+    ids (int64 matrices + a 'long' out_schema), so a string-keyed
+    corpus crashed ivf_top_k on any broadcastable corpus.  The id
+    arrays and out_schema now derive from the input schema; string ids
+    must score through the grouped path AND match the type-generic
+    join path exactly."""
+    import math
+
+    from movie_etl_spark.operators import similarity
+
+    rows = [
+        (f"doc-{i:03d}", [1.0 * (i % 5), -1.0, 2.0 + i % 3, 0.5])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    def run():
+        return {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in similarity.ivf_top_k(
+                df, df, k=3, n_centroids=8, n_probe=3
+            ).collect()
+        }
+
+    grouped = run()
+    monkeypatch.setattr(similarity, "_IVF_BROADCAST_MAX_BYTES", 0)
+    joined = run()
+
+    def canon(s):
+        return {
+            (q, n, "nan" if isinstance(c, float) and math.isnan(c) else c, r)
+            for (q, n, c, r) in s
+        }
+
+    assert canon(grouped) == canon(joined)
+    assert grouped
+    assert all(isinstance(q, str) and isinstance(n, str) for q, n, _, _ in grouped)
+
+
+def test_ivf_top_k_nonintegral_id_falls_back_to_join_path(spark):
+    """Ids the grouped path cannot round-trip through numpy/Arrow with
+    their source type (decimal here) must take the type-generic join
+    path — no MapInPandas dot-block stage in the plan — instead of
+    raising (ADVICE r12, medium)."""
+    from pyspark.sql import functions as F
+
+    from movie_etl_spark.operators.similarity import ivf_top_k
+
+    rows = [(i, [1.0 * (i % 5), -1.0, 2.0, 0.5]) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).withColumn("vec_id", F.col("vec_id").cast("decimal(10,0)"))
+    out = ivf_top_k(df, df, k=2, n_centroids=4, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert out.count() > 0
+
+
+def test_release_caches_destroys_grouped_scoring_broadcast(spark):
+    """ADVICE r12: the grouped path's pickled sc.broadcast (the
+    per-centroid matrices) must be tracked and destroyed by
+    release_caches — repeated ivf_top_k calls in one bench session must
+    not accumulate broadcast blocks."""
+    from movie_etl_spark import session as sess
+    from movie_etl_spark.operators.similarity import ivf_top_k
+
+    sess.release_caches()
+    assert not sess._BROADCASTS
+    rows = [(i, [1.0 * (i % 5), -1.0, 2.0, 0.5]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf_top_k(df, df, k=2, n_centroids=4, n_probe=2).collect()
+    assert len(sess._BROADCASTS) == 1
+    bc = sess._BROADCASTS[0]
+    sess.release_caches()
+    assert not sess._BROADCASTS
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bc.value  # destroyed: any further access must fail

@@ -666,3 +666,67 @@ def test_embedding_near_dup_small_corpus_plan_is_all_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3  # band join + two verify sides
+
+
+def test_embedding_near_dup_band_row_bound_forces_shuffle_path(spark, monkeypatch):
+    """ADVICE r12: the band self-join's broadcast side is n_vectors x
+    n_bands SKINNY rows — dim-independent — so the small_corpus gate
+    carries a row bound alongside the vector-byte cap.  A corpus that
+    trips only the ROW bound must take the explicitly-partitioned
+    shuffle path with identical results (and the plan must not
+    broadcast the band relation)."""
+    from movie_etl_spark.operators import dedup
+
+    rows = [
+        (i, [float(i % 7 == 0), 1.0, -1.0, float(i % 3), 2.0, -0.5])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        return {
+            (r.id_a, r.id_b, r.cosine)
+            for r in dedup.embedding_near_dup_pairs(
+                df, "embedding", "vec_id", cosine_threshold=0.9, band_size=3
+            ).collect()
+        }
+
+    broadcast = run()
+    monkeypatch.setattr(dedup, "_BAND_BROADCAST_MAX_ROWS", 0)
+    shuffled = run()
+    assert broadcast == shuffled
+    assert broadcast  # non-vacuous
+
+
+def test_embedding_near_dup_pinned_band_size_skips_median(spark, monkeypatch):
+    """ADVICE r12: with band_size pinned the sizing agg must not compute
+    the median (the auto-layout input) — only count + avg width for the
+    broadcast byte estimate.  Pinned by intercepting the agg columns."""
+    from movie_etl_spark.operators import dedup
+
+    rows = [(i, [1.0, -1.0, 2.0, 0.5, 1.5, -0.5]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seen_aliases: list[list[str]] = []
+    orig_agg = type(df).agg
+
+    def spy_agg(self, *cols):
+        seen_aliases.append([c._jc.toString() for c in cols])
+        return orig_agg(self, *cols)
+
+    monkeypatch.setattr(type(df), "agg", spy_agg)
+    dedup.embedding_near_dup_pairs(
+        df, "embedding", "vec_id", band_size=3
+    ).collect()
+    pinned_aggs = [a for a in seen_aliases if any("avg_dim" in s for s in a)]
+    assert pinned_aggs and all(
+        not any("median" in s.lower() for s in a) for a in pinned_aggs
+    )
+    seen_aliases.clear()
+    dedup.embedding_near_dup_pairs(
+        df, "embedding", "vec_id", band_size=None
+    ).collect()
+    auto_aggs = [a for a in seen_aliases if any("avg_dim" in s for s in a)]
+    assert auto_aggs and any(
+        any("median" in s.lower() for s in a) for a in auto_aggs
+    )

@@ -188,3 +188,31 @@ def test_scale_up_cipher_maps_are_bijective_distinct_and_sf1_compatible():
     assert len(set(letter_maps)) == MAX_FACTOR
     assert len({m[1] for m in maps}) == MAX_FACTOR
     assert letter_maps[26] != letter_maps[0]
+
+
+def test_bench_lossless_target_failed_run_writes_sidecar():
+    """VERDICT r12 item #3: a bench run with errors must never
+    overwrite the last good lossless record — it owns only the
+    .err.json sidecar; happy-path targets are unchanged."""
+    import bench
+
+    # happy paths (unchanged contract)
+    assert bench.lossless_target(False, "/root/testdata/sf0.1", False) == (
+        "BENCH_LOCAL.json"
+    )
+    assert bench.lossless_target(False, "/tmp/sf3", False) == (
+        "BENCH_SF3.0.json"
+    )
+    assert bench.lossless_target(True, "/root/testdata/sf0.1", False) == (
+        "BENCH_SUBSET.json"
+    )
+    # failed runs divert to the sidecar at every scale/subset shape
+    assert bench.lossless_target(False, "/root/testdata/sf0.1", True) == (
+        "BENCH_LOCAL.err.json"
+    )
+    assert bench.lossless_target(False, "/tmp/sf3", True) == (
+        "BENCH_SF3.0.err.json"
+    )
+    assert bench.lossless_target(True, "/root/testdata/sf0.1", True) == (
+        "BENCH_SUBSET.err.json"
+    )
