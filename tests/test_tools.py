@@ -161,7 +161,7 @@ def test_scale_up_cipher_maps_are_bijective_distinct_and_sf1_compatible():
     rotations for replicas 0..9 so the recorded sf1 evidence still
     describes a regenerable instrument.
     """
-    from scale_up import MAX_FACTOR, _affine_alphabet
+    from scale_up import MAX_FACTOR, _affine_alphabet, _digit_cipher
 
     lower = "abcdefghijklmnopqrstuvwxyz"
     digit = "0123456789"
@@ -170,7 +170,7 @@ def test_scale_up_cipher_maps_are_bijective_distinct_and_sf1_compatible():
     maps = []
     for i in range(MAX_FACTOR):
         lmap = _affine_alphabet(lower, letter_as, i)
-        dmap = _affine_alphabet(digit, digit_as, i)
+        dmap = _digit_cipher(digit, digit_as, i)
         assert sorted(lmap) == sorted(lower)  # bijection
         assert sorted(dmap) == sorted(digit)
         maps.append((lmap, dmap))
@@ -180,10 +180,17 @@ def test_scale_up_cipher_maps_are_bijective_distinct_and_sf1_compatible():
     for i in range(10):
         assert maps[i][0] == lower[i:] + lower[:i]
         assert maps[i][1] == digit[i:] + digit[:i]
+    # sf3 compatibility: every replica < 40 keeps the pure affine digit
+    # map (block 0 = identity transposition), so the recorded sf3
+    # instrument regenerates byte-identical after the factor-100
+    # extension (r13)
+    for i in range(40):
+        assert maps[i][1] == _affine_alphabet(digit, digit_as, i)
     # pairwise distinct across the whole supported range — the letter
     # map alone must already distinguish replicas (vocabulary is
     # letter-dominated); replica 26 vs 0 is the regression that started
-    # this
+    # this, and the digit maps past 40 (the affine group mod 10 is
+    # exhausted there) rely on the non-affine-coset composition
     letter_maps = [m[0] for m in maps]
     assert len(set(letter_maps)) == MAX_FACTOR
     assert len({m[1] for m in maps}) == MAX_FACTOR

@@ -59,3 +59,64 @@ def peak_memory(spark) -> dict[str, float] | None:
     if not seen:
         return None
     return {k: round(v, 1) for k, v in out.items()}
+
+
+def _solo(sf_dir: str, query: str) -> None:
+    """Run one catalog query end-to-end in THIS process (UI forced on),
+    sample lifetime peaks, print one JSON line. One OS process per
+    query keeps the JVM-lifetime peaks attributable to that query."""
+    import os
+    import sys
+    import time
+
+    os.environ["SPARK_GRAFT_UI"] = "true"
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from movie_etl_spark.plans.catalog import QUERIES
+    from movie_etl_spark.session import get_spark
+
+    spark = get_spark(f"memprobe-{query}")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    QUERIES[query].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    wall = round(time.perf_counter() - t0, 1)
+    # peaks ride executor heartbeats (10s default): a short query can
+    # finish before the first one lands — poll until a nonzero heap
+    # peak shows up (or ~15s passes)
+    peaks = peak_memory(spark) or {}
+    for _ in range(7):
+        if peaks.get("jvm_heap_mb"):
+            break
+        time.sleep(2.5)
+        peaks = peak_memory(spark) or peaks
+    print(json.dumps({"query": query, "wall_s": wall, **peaks}))
+
+
+def main() -> int:
+    """``python tools/memprobe.py <sf_dir> <query...>`` — solo-probes
+    each query in its own subprocess (fresh JVM => per-query lifetime
+    peaks) and prints one JSON row per query (VERDICT r12 item 4)."""
+    import subprocess
+    import sys
+
+    if sys.argv[1] == "--solo":
+        _solo(sys.argv[2], sys.argv[3])
+        return 0
+    sf_dir, queries = sys.argv[1], sys.argv[2:]
+    rc = 0
+    for q in queries:
+        r = subprocess.run(
+            [sys.executable, __file__, "--solo", sf_dir, q],
+            capture_output=True, text=True,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        print(line[-1] if line else json.dumps({"query": q, "err": r.returncode}))
+        rc |= r.returncode
+    return rc
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
