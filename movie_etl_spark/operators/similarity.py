@@ -39,8 +39,82 @@ from movie_etl_spark.session import ensure_parallelism
 _IVF_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 
+#: safety margin (in cosine units) for the in-block top-k prune: the
+#: final ranking key is the cosine ROUNDED to 6 dp, so two raw cosines
+#: more than 2x the 1e-6 quantum apart can never round to the same
+#: value — any pair more than the margin below a block's k-th best raw
+#: cosine is strictly outranked by >= k block-mates after rounding and
+#: can never reach the global top-k. 1e-5 is 5x that bound.
+_TOPK_PRUNE_MARGIN = 1e-5
+
+
+def _block_topk_keep(dot, valid, qids, qns, qn_null, nids, cns, cn_null, k):
+    """Indices ``(rows, cols)`` of the pairs in one scored block that
+    can still reach the global top-k — the provably-sufficient superset
+    the grouped scoring path emits instead of the full block.
+
+    Safety argument (each pruned pair has >= k block-mates that
+    strictly outrank it under the final (rounded-cosine DESC,
+    neighbor_id ASC) order, so pruning cannot change the global top-k):
+
+    - verdicts replicate the Spark expression
+      ``round(when(_qn*_cn > 0, dot/(_qn*_cn)), 6)`` EXACTLY, including
+      Spark's NaN semantics (``NaN > 0`` is true, so a NaN denominator
+      yields a NaN cosine, which ranks FIRST descending) and the NULL
+      cases (null norm, non-positive denominator, null dot), which rank
+      last;
+    - NaN-cosine pairs are always kept (nothing outranks them);
+    - finite pairs keep everything within ``_TOPK_PRUNE_MARGIN`` of the
+      row's k-th best raw cosine — the margin covers every possible
+      rounding tie (see the constant's note), and raw cosines here are
+      bit-identical to Spark's (same IEEE multiply then divide);
+    - NULL-verdict pairs are kept only to pad rows with fewer than k
+      better-ranked pairs, smallest neighbor id first (the NULL-side
+      tiebreak order);
+    - self-pairs are dropped outright — the caller filters
+      ``query_id != neighbor_id`` downstream either way.
+    """
+    import numpy as np
+
+    n_q, n_b = dot.shape
+    denom = qns[:, None] * cns[None, :]
+    norm_null = qn_null[:, None] | cn_null[None, :]
+    # Spark: NaN > 0 is TRUE (NaN orders above every number); numpy's
+    # comparison is False — OR the NaN case back in
+    denom_pos = (denom > 0) | np.isnan(denom)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot / denom
+    null_v = norm_null | ~denom_pos | ~valid[:, None]
+    if qids.dtype == object or nids.dtype == object:
+        pos = {v: j for j, v in enumerate(nids)}
+        self_pair = np.zeros((n_q, n_b), dtype=bool)
+        for i, qv in enumerate(qids):
+            j = pos.get(qv)
+            if j is not None:
+                self_pair[i, j] = True
+    else:
+        self_pair = qids[:, None] == nids[None, :]
+    nan_keep = ~null_v & np.isnan(cos) & ~self_pair
+    finite_v = ~null_v & ~np.isnan(cos) & ~self_pair
+    null_v &= ~self_pair
+    work = np.where(finite_v, cos, -np.inf)
+    if n_b > k:
+        kth = np.partition(work, n_b - k, axis=1)[:, n_b - k]
+        keep = finite_v & (work >= (kth - _TOPK_PRUNE_MARGIN)[:, None])
+    else:
+        keep = finite_v.copy()
+    keep |= nan_keep
+    pad = k - nan_keep.sum(axis=1) - finite_v.sum(axis=1)
+    for i in np.nonzero(pad > 0)[0]:
+        cols = np.nonzero(null_v[i])[0]
+        if len(cols):
+            order = np.argsort(nids[cols], kind="stable")
+            keep[i, cols[order[: pad[i]]]] = True
+    return np.nonzero(keep)
+
+
 def _grouped_dot_pairs(
-    query_probes: DataFrame, corpus_assigned: DataFrame
+    query_probes: DataFrame, corpus_assigned: DataFrame, top_k: int | None = None
 ) -> DataFrame:
     """(query_id, neighbor_id, dot, _qn, _cn) for every probe pair —
     the pair-fan-out scoring stage of :func:`ivf_top_k`, computed
@@ -64,11 +138,22 @@ def _grouped_dot_pairs(
     Malformed pairs keep the fold's verdicts: NULL query vector or a
     query/corpus length mismatch -> NULL dot (explicit Arrow mask);
     a NaN element -> NaN dot (the FloatingArray return keeps pyarrow
-    from reading the NaN as a null sentinel). Self-pairs are emitted;
-    the caller filters them exactly like the join path does.
+    from reading the NaN as a null sentinel). With ``top_k=None``
+    self-pairs are emitted and the caller filters them exactly like the
+    join path does.
+
+    ``top_k`` (r13): when set, each block is pruned in-place to the
+    provably-sufficient superset of the global top-k before it crosses
+    the Arrow boundary (see :func:`_block_topk_keep`) — every candidate
+    of a (query, centroid, dim-group) appears in exactly one block, so
+    block-local pruning with the rounding-safe margin cannot change the
+    final ranking, while the emitted row count (and the downstream
+    top-k window's shuffle) drops from |Q| x |bucket| to ~|Q| x k per
+    block. At the sf3 point that is ~451M rows -> ~1.4M.
 
     Downstream division, rounding, and ranking stay in Spark — this
-    stage moves ONLY the dot product across the Arrow boundary.
+    stage moves ONLY the dot product (and the prune) across the Arrow
+    boundary.
 
     Id columns keep their source types (ADVICE r12, medium): the output
     schema is derived from the input schemas and the id arrays keep the
@@ -182,6 +267,45 @@ def _grouped_dot_pairs(
                             dot[valid] = acc
                         elif valid.any():
                             dot[valid] = 0.0  # zero-dim fold = 0.0
+                        if top_k is not None:
+                            # in-block partial top-k (r13): emit only
+                            # the pairs that can still reach the global
+                            # top-k — every candidate of a (query,
+                            # centroid, dim-group) lives in exactly one
+                            # block, so per-block pruning is safe (see
+                            # _block_topk_keep). Shrinks the Arrow
+                            # output and the downstream window shuffle
+                            # from |Q|x|bucket| to ~|Q|x(k+ties).
+                            ri, ci = _block_topk_keep(
+                                dot,
+                                valid,
+                                qids[lo:hi],
+                                qns[lo:hi],
+                                qn_null[lo:hi],
+                                nids,
+                                cns,
+                                cn_null,
+                                top_k,
+                            )
+                            if len(ri) == 0:
+                                continue
+                            yield pd.DataFrame(
+                                {
+                                    "query_id": qids[lo:hi][ri],
+                                    "neighbor_id": nids[ci],
+                                    "dot": pd.arrays.FloatingArray(
+                                        dot[ri, ci], mask=~valid[ri]
+                                    ),
+                                    "_qn": pd.arrays.FloatingArray(
+                                        qns[lo:hi][ri],
+                                        mask=qn_null[lo:hi][ri],
+                                    ),
+                                    "_cn": pd.arrays.FloatingArray(
+                                        cns[ci], mask=cn_null[ci].copy()
+                                    ),
+                                }
+                            )
+                            continue
                         mask = np.broadcast_to(
                             ~valid[:, None], (n_q, n_b)
                         ).ravel()
@@ -452,7 +576,7 @@ def ivf_top_k(
     )
     if _grouped_id_ok and est_bytes <= _IVF_BROADCAST_MAX_BYTES:
         scored = (
-            _grouped_dot_pairs(query_probes, corpus_assigned)
+            _grouped_dot_pairs(query_probes, corpus_assigned, top_k=k)
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn(
                 "cosine",

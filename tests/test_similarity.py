@@ -524,3 +524,121 @@ def test_release_caches_destroys_grouped_scoring_broadcast(spark):
 
     with _pytest.raises(Exception):
         bc.value  # destroyed: any further access must fail
+
+
+def test_block_topk_keep_verdicts_and_margins():
+    """Unit pin of the r13 in-block prune's safety cases: NaN cosines
+    always kept, rounding-boundary candidates survive via the margin,
+    NULL-verdict pairs pad only when fewer than k better-ranked pairs
+    exist (smallest neighbor first), self-pairs dropped."""
+    import numpy as np
+
+    from movie_etl_spark.operators.similarity import _block_topk_keep
+
+    # one query row, 6 neighbors, k=2.
+    # neighbor norms: n5 null; others 1.0. query norm 1.0, not null.
+    qids = np.array([0], dtype=np.int64)
+    nids = np.array([10, 11, 12, 13, 14, 15], dtype=np.int64)
+    qns = np.array([1.0])
+    qn_null = np.array([False])
+    cns = np.array([1.0, 1.0, 1.0, 1.0, 1.0, np.nan])
+    cn_null = np.array([False, False, False, False, False, True])
+    # dots: 0.9 and 0.9-1e-7 are the top-2 finite; 0.9-2e-6 straddles
+    # the rounding boundary of the 2nd best (must survive via the
+    # margin); NaN is kept unconditionally; 0.89 is > margin below the
+    # k-th best (strictly outranked by >= 2 after rounding: prune);
+    # the NULL-norm pair has >= 2 better-ranked block-mates (prune)
+    dot = np.array([[0.9, 0.9 - 1e-7, 0.9 - 2e-6, np.nan, 0.89, 0.7]])
+    valid = np.array([True])
+    ri, ci = _block_topk_keep(
+        dot, valid, qids, qns, qn_null, nids, cns, cn_null, 2
+    )
+    kept = set(nids[ci])
+    assert kept == {10, 11, 12, 13}
+    assert 14 not in kept        # strictly outranked by >= 2
+    assert 15 not in kept        # NULL verdict with >= 2 better pairs
+
+    # NULL padding: a query with ONE finite pair and k=2 must keep the
+    # smallest-neighbor NULL pair as padding
+    cns2 = np.array([1.0, np.nan, np.nan])
+    cn_null2 = np.array([False, True, True])
+    dot2 = np.array([[0.5, 0.1, 0.2]])
+    ri2, ci2 = _block_topk_keep(
+        dot2,
+        valid,
+        qids,
+        np.array([1.0]),
+        qn_null,
+        np.array([20, 22, 21], dtype=np.int64),
+        cns2,
+        cn_null2,
+        2,
+    )
+    assert set(np.array([20, 22, 21])[ci2]) == {20, 21}  # smallest null pads
+
+    # self-pair dropped even when it would top the ranking
+    nids3 = np.array([0, 30], dtype=np.int64)
+    dot3 = np.array([[1.0, 0.4]])
+    ri3, ci3 = _block_topk_keep(
+        dot3,
+        valid,
+        qids,
+        np.array([1.0]),
+        qn_null,
+        nids3,
+        np.array([1.0, 1.0]),
+        np.array([False, False]),
+        1,
+    )
+    assert set(nids3[ci3]) == {30}
+
+    # zero-denominator => NULL verdict (Spark's when(denom > 0) guard)
+    ri4, ci4 = _block_topk_keep(
+        np.array([[0.9, 0.4]]),
+        valid,
+        qids,
+        np.array([1.0]),
+        qn_null,
+        np.array([40, 41], dtype=np.int64),
+        np.array([0.0, 1.0]),
+        np.array([False, False]),
+        1,
+    )
+    assert set(np.array([40, 41])[ci4]) == {41}
+
+
+def test_ivf_pruned_grouped_matches_unpruned_on_random_corpus(spark):
+    """End-to-end randomized pin: the pruned grouped path (the shipped
+    default) must produce the identical final top-k as the unpruned
+    grouped emission on a corpus dense with near-ties."""
+    import random
+
+    from movie_etl_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.choice([-1.0, 1.0]) * rng.uniform(0.99, 1.0) for _ in range(8)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        return {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in similarity.ivf_top_k(
+                df, df, k=4, n_centroids=6, n_probe=3
+            ).collect()
+        }
+
+    pruned = run()
+    orig = similarity._grouped_dot_pairs
+
+    def unpruned(qp, ca, top_k=None):
+        return orig(qp, ca, top_k=None)
+
+    try:
+        similarity._grouped_dot_pairs = unpruned
+        full = run()
+    finally:
+        similarity._grouped_dot_pairs = orig
+    assert pruned == full and pruned
