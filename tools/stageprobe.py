@@ -1,0 +1,115 @@
+"""Per-stage execution-memory attribution (r13).
+
+``tools/memprobe.py`` answers "how high did the JVM peak during this
+query" — a single lifetime number. When that number sits near the heap
+ceiling (g2 read 86% at sf3), the next question is WHICH stage owns it.
+Spark's status store aggregates each stage's task-level
+``peakExecutionMemory`` (the per-task execution-pool high-water mark,
+summed over tasks) and exposes it on the REST API at
+``/api/v1/applications/<id>/stages`` along with shuffle/spill volumes —
+enough to attribute the ceiling to a plan region without re-running
+under a profiler.
+
+Usage::
+
+    python tools/stageprobe.py <sf_dir> <query> [top_n=8]
+
+Runs the query SOLO (fresh session, ``SPARK_GRAFT_UI=true`` forced so
+the status store exists), then prints one JSON line with the overall
+peaks (same metrics as memprobe) and the ``top_n`` completed stages by
+summed task peakExecutionMemory: stage id, that sum (MiB), spill and
+shuffle-write volumes (MiB), task count, and the head of the stage
+name (the first line names the boundary operator, e.g.
+``exchange``/``mapInPandas``/``parquet``).
+
+Caveat: ``peakExecutionMemory`` sums PER-TASK peaks, so with 32
+concurrent tasks the sum can exceed what was ever resident at once —
+read it as attribution weight, not as absolute footprint; the absolute
+ceiling is memprobe's ``unified_mb``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MB = 1024 * 1024
+
+
+def stage_table(spark, top_n: int = 8) -> list[dict]:
+    """Completed stages of this app, heaviest peakExecutionMemory first."""
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return []
+    app_id = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            stages = json.load(resp)
+    except Exception:
+        return []
+    rows = []
+    for st in stages:
+        rows.append(
+            {
+                "stage": st.get("stageId"),
+                "peak_exec_mb": round(st.get("peakExecutionMemory", 0) / MB, 1),
+                "spill_mb": round(
+                    (st.get("memoryBytesSpilled", 0) + st.get("diskBytesSpilled", 0))
+                    / MB,
+                    1,
+                ),
+                "shuffle_write_mb": round(
+                    st.get("shuffleWriteBytes", 0) / MB, 1
+                ),
+                "tasks": st.get("numCompleteTasks", 0),
+                "name": (st.get("name") or "").splitlines()[0][:80],
+            }
+        )
+    rows.sort(key=lambda r: r["peak_exec_mb"], reverse=True)
+    return rows[:top_n]
+
+
+def main() -> int:
+    os.environ["SPARK_GRAFT_UI"] = "true"
+    sf_dir, query = sys.argv[1], sys.argv[2]
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    from movie_etl_spark.plans.catalog import QUERIES
+    from movie_etl_spark.session import get_spark
+    from tools.memprobe import peak_memory
+
+    spark = get_spark(f"stageprobe-{query}")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    QUERIES[query].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    wall = round(time.perf_counter() - t0, 1)
+    peaks = peak_memory(spark) or {}
+    for _ in range(7):
+        if peaks.get("jvm_heap_mb"):
+            break
+        time.sleep(2.5)
+        peaks = peak_memory(spark) or peaks
+    print(
+        json.dumps(
+            {
+                "query": query,
+                "sf_dir": sf_dir,
+                "wall_s": wall,
+                **peaks,
+                "top_stages": stage_table(spark, top_n),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
