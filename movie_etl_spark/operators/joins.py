@@ -56,8 +56,22 @@ def build_edges(
     tails = tail_nodes.select(tail_key).dropDuplicates([tail_key])
     if broadcast_tails:
         tails = F.broadcast(tails)
+    else:
+        # SHUFFLE_HASH (r13): the semi-join's build side is a key-only
+        # node frame — always the skinny side — while the streamed
+        # edges side can carry payload (the exploded cast/crew rows in
+        # g2). The planner's default SortMergeJoin sorts BOTH sides;
+        # at sf3 the two heaviest g2 edge-build stages spilled ~1.9 GB
+        # in those sorts (stageprobe attribution, BASELINE.md "r13:
+        # graph family"). Hash-building the key set streams the fat
+        # side with no sort — and stays scale-safe: the build is
+        # per-partition (keys/partitions rows), not a broadcast.
+        tails = tails.hint("shuffle_hash")
+    heads = head_nodes.select(head_key).dropDuplicates([head_key])
+    if not broadcast_tails:
+        heads = heads.hint("shuffle_hash")
     out = (
-        edges.join(head_nodes.select(head_key).dropDuplicates([head_key]), head_key, "left_semi")
+        edges.join(heads, head_key, "left_semi")
         .join(tails, tail_key, "left_semi")
         .select(
             F.col(head_key).alias("head_id"),

@@ -2048,7 +2048,13 @@ def q_g2_full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     def id_name(idc):
         return F.struct(idc.cast("int").alias("id"), F.lit("n").alias("name"))
 
-    raw = orders.join(credits_agg, ok == credits_agg.id).select(
+    # SHUFFLE_HASH on the skinny side (r13): the planner's default here
+    # was a SortMergeJoin whose fat-side Sort — the collect_list'ed
+    # cast/crew arrays — spilled 4.75 GB at sf3 (stageprobe attribution,
+    # BASELINE.md "r13: graph family at the 100x point"). Building the
+    # hash relation from orders (skinny, ~rows/32 per task) streams the
+    # aggregated credits side with NO sort of the fat rows.
+    raw = orders.hint("shuffle_hash").join(credits_agg, ok == credits_agg.id).select(
         ok.alias("id"),
         F.col("o_orderpriority").alias("title"),
         F.lit("synthetic overview").alias("overview"),
