@@ -43,6 +43,7 @@ def build_edges(
     rel_type: str,
     payload: list[str] | None = None,
     broadcast_tails: bool = False,
+    hash_build_nodes: bool = False,
 ) -> DataFrame:
     """J3/K4 — referential-integrity edge builder
     (tasks/kg_task.py:43-80): an edge exists only if BOTH endpoints
@@ -51,25 +52,32 @@ def build_edges(
 
     ``broadcast_tails`` marks the tail node table as a broadcastable
     dimension (genre/language/country/provider — always small).
+    ``hash_build_nodes`` forces SHUFFLE_HASH builds on the key-only
+    node sides — pass it when the node frames' size stats are broken
+    (checkpointed inputs) and the planner would otherwise sort the fat
+    edges stream through a SortMergeJoin (see the inline note).
     """
     payload = payload or []
     tails = tail_nodes.select(tail_key).dropDuplicates([tail_key])
+    heads = head_nodes.select(head_key).dropDuplicates([head_key])
     if broadcast_tails:
         tails = F.broadcast(tails)
-    else:
-        # SHUFFLE_HASH (r13): the semi-join's build side is a key-only
-        # node frame — always the skinny side — while the streamed
-        # edges side can carry payload (the exploded cast/crew rows in
-        # g2). The planner's default SortMergeJoin sorts BOTH sides;
-        # at sf3 the two heaviest g2 edge-build stages spilled ~1.9 GB
-        # in those sorts (stageprobe attribution, BASELINE.md "r13:
-        # graph family"). Hash-building the key set streams the fat
-        # side with no sort — and stays scale-safe: the build is
-        # per-partition (keys/partitions rows), not a broadcast.
-        tails = tails.hint("shuffle_hash")
-    heads = head_nodes.select(head_key).dropDuplicates([head_key])
-    if not broadcast_tails:
+    if hash_build_nodes:
+        # SHUFFLE_HASH (r13): callers pass this when the node frames'
+        # size statistics are broken — g2's reuse_shared path
+        # localCheckpoints Movie/Person, after which neither static
+        # planning nor AQE will ever broadcast them and the semi joins
+        # regress to SortMergeJoins that SORT the fat edges stream
+        # (the two heaviest g2 stages spilled ~1.9 GB at sf3;
+        # stageprobe attribution, BASELINE.md "r13: graph family").
+        # Hash-building the key-only node side streams the fat side
+        # with no sort — scale-safe: the build is per-partition
+        # (keys/partitions rows), not a broadcast. Left OFF by default
+        # so stats-rich inputs (f6/g1's parquet-derived nodes) keep
+        # their statically-planned broadcasts.
         heads = heads.hint("shuffle_hash")
+        if not broadcast_tails:
+            tails = tails.hint("shuffle_hash")
     out = (
         edges.join(heads, head_key, "left_semi")
         .join(tails, tail_key, "left_semi")

@@ -120,7 +120,7 @@ def build_movie_graph(
     out["edges/ACTED_IN"] = dedup_by_key(
         build_edges(
             acted, movies, persons, "movie_id", "person_id", "ACTED_IN",
-            payload=["role"],
+            payload=["role"], hash_build_nodes=reuse_shared,
         ),
         ["relationship_id"],
         order_col="role",
@@ -132,9 +132,17 @@ def build_movie_graph(
     # unknown departments drop (the reference raises KeyError —
     # utils/etl.py:36-39; we choose explicit inner-join semantics)
     crew = crew.filter(F.col("rel").isNotNull())
+    # same checkpointed-stats fix as build_edges' hash_build_nodes:
+    # hash-build the key-only node sides so the fat crew stream is
+    # never sorted (see operators/joins.py)
+    crew_heads = movies.select("movie_id")
+    crew_tails = persons.select("person_id")
+    if reuse_shared:
+        crew_heads = crew_heads.hint("shuffle_hash")
+        crew_tails = crew_tails.hint("shuffle_hash")
     crew_edges = (
-        crew.join(movies.select("movie_id"), "movie_id", "left_semi")
-        .join(persons.select("person_id"), "person_id", "left_semi")
+        crew.join(crew_heads, "movie_id", "left_semi")
+        .join(crew_tails, "person_id", "left_semi")
         .select(
             F.col("movie_id").alias("head_id"),
             F.col("person_id").alias("tail_id"),
