@@ -73,7 +73,21 @@ def pagerank_fixed_point(
     propagation uses) so deep runs stay O(iterations) instead of
     O(iterations * plan-depth).
     """
-    edges = cache_tracked(edges.select("src", "dst"))
+    from pyspark.storagelevel import StorageLevel
+
+    # Edge-sized invariants go DISK_ONLY (r13, from gr1's sf10 OOM):
+    # deserialized in-memory cache blocks are protected from execution
+    # eviction up to spark.memory.storageFraction, and at 100x scale
+    # the two edge-sized frames pinned enough of the unified pool that
+    # the per-iteration hash aggregate hit UNABLE_TO_ACQUIRE_MEMORY.
+    # On disk the re-reads stream through the OS page cache while the
+    # whole pool stays available to the iteration joins — the same
+    # trade the g2 doc-corpus checkpoint adjudicated in r11. The
+    # node-sized ``deg`` frame stays in memory (small, hit every
+    # iteration).
+    edges = cache_tracked(
+        edges.select("src", "dst"), storage_level=StorageLevel.DISK_ONLY
+    )
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     if nodes is not None:
         node_ids = nodes.select(
@@ -87,7 +101,9 @@ def pagerank_fixed_point(
     else:
         deg = cache_tracked(out_deg)
     # invariant per-edge state, computed once outside the loop
-    edges_deg = cache_tracked(edges.join(deg, "src"))
+    edges_deg = cache_tracked(
+        edges.join(deg, "src"), storage_level=StorageLevel.DISK_ONLY
+    )
     ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
     base = (scale * (damp_den - damp_num)) // damp_den
     for it in range(iterations):

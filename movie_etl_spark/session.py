@@ -131,9 +131,17 @@ _CACHED: list[DataFrame] = []
 _BROADCASTS: list = []
 
 
-def cache_tracked(df: DataFrame) -> DataFrame:
-    """persist() with caller-owned lifetime (see :func:`release_caches`)."""
-    df = df.persist()
+def cache_tracked(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() with caller-owned lifetime (see :func:`release_caches`).
+
+    ``storage_level``: optional ``pyspark.StorageLevel``. Big invariant
+    frames that are re-read across iterations should pass DISK_ONLY —
+    deserialized MEMORY_AND_DISK blocks are protected from execution-
+    side eviction up to ``spark.memory.storageFraction`` of the unified
+    pool, and a multi-GB pinned invariant starves iteration hash
+    aggregates (the r11 g2 checkpoint lesson; gr1's sf10 OOM, r13).
+    """
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
     _CACHED.append(df)
     return df
 
