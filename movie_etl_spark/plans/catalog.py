@@ -2370,18 +2370,60 @@ def q_st4_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_time(
         spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
     )
-    with bounded_state_partitions(spark):
-        q = (
-            dedup_events(stream)
-            .select("event_id", "user_id", "event_type", "value")
-            .writeStream.format("memory")
-            .queryName("st4_dedup")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table("st4_dedup")
+    # Scale shape (r13, from the factor-100 OOM): this is the one
+    # streaming query whose state-key count IS the input row count
+    # (exact dedup by event_id, deliberately watermarkless for oracle
+    # parity), and whose output is O(N) rows. The memory sink held all
+    # deduped rows as driver JVM objects and the HDFS-backed state
+    # store held every key on-heap — together a hard
+    # java.lang.OutOfMemoryError at 16.5M staged events on the 8 GiB
+    # bench heap. The sink is therefore parquet (disk-backed, read
+    # back lazily) and the state store goes RocksDB once the backfill
+    # is key-heavy; both leave rows and hashes bit-identical.
+    import shutil
+    import tempfile
+
+    n_staged = spark.read.parquet(staged).count()  # parquet metadata count
+    key_heavy = n_staged > 2_000_000
+    sel = ("event_id", "user_id", "event_type", "value")
+    if not key_heavy:
+        # small backfills keep the zero-I/O memory sink + in-memory
+        # state store (the quiet-floor path; both sinks emit identical
+        # rows, so the oracle hash is sink-invariant)
+        with bounded_state_partitions(spark):
+            q = (
+                dedup_events(stream)
+                .select(*sel)
+                .writeStream.format("memory")
+                .queryName("st4_dedup")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.table("st4_dedup")
+    out_dir = tempfile.mkdtemp(prefix="st4_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="st4_dedup_ckpt_")
+    try:
+        with bounded_state_partitions(spark, rocksdb=True):
+            q = (
+                dedup_events(stream)
+                .select(*sel)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # materializing into a driver-memory frame is wrong at scale;
+        # return the lazy parquet scan of the sink instead. The sink
+        # dir outlives this function (session-temp); the checkpoint is
+        # deleted (it pins the state-store provider).
+        return spark.read.parquet(out_dir).select(*sel)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @register(

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 
 @contextmanager
-def bounded_state_partitions(spark, n: int = 8):
+def bounded_state_partitions(spark, n: int = 8, rocksdb: bool = False):
     """Run a bounded (``availableNow``) stream with ``n`` state
     partitions.
 
@@ -74,10 +74,32 @@ def bounded_state_partitions(spark, n: int = 8):
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    if rocksdb:
+        # RocksDB state store for key-heavy bounded runs (r13): the
+        # default HDFS-backed provider holds every state key AS JVM
+        # OBJECTS on-heap (plus retained versions) — a dedup whose key
+        # count is the input row count (st4: 16.5M keys at the
+        # factor-100 point) OOMs the 8 GiB bench heap outright.
+        # RocksDB keeps state off-heap/on-disk with the same exact
+        # semantics; its per-batch JNI overhead is noise for bounded
+        # backfills. Scoped, like the partition count: the provider is
+        # pinned per checkpoint, so this must wrap the whole run.
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        if rocksdb:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
 
 
 def windowed_counts(
