@@ -1,0 +1,102 @@
+"""Whole-catalog solo sweep: every query in its own fresh JVM (r13).
+
+The single-session catalog protocol (bench.py) is the right wall-clock
+measurement at the bench scales — shared JVM warm-up amortizes and the
+total is comparable round over round. At the factor-100 point it stops
+being a measurement of the QUERIES: 118 heavy jobs through one 8 GiB
+driver JVM accumulate old-gen pressure until whichever heavy lands on
+the bad GC moment kills the context (three sf10 attempts died at three
+different queries — gr1, v3, g2 — while every one of those queries
+passes SOLO at the same heap). A real cluster never runs a hundred
+100×-scale jobs through one driver heap back-to-back; per-query process
+isolation is the honest protocol at this point.
+
+Usage::
+
+    python tools/solo_sweep.py <sf_dir> [out_json] [query ...]
+
+Runs each catalog query via ``tools/memprobe.py --solo`` (fresh
+subprocess, 8 GiB default heap, ``SPARK_GRAFT_UI=true`` so lifetime
+peak-memory metrics ride along) and writes one JSON file::
+
+    {"protocol": "solo-per-process", "sf_dir": ..., "n_pass": N,
+     "n_fail": M, "total_wall_s": sum-of-passing,
+     "queries": {name: {"wall_s": ..., "jvm_heap_mb": ...}},
+     "errors": {name: first-line}}
+
+``total_wall_s`` sums query walls only (JVM spin-up excluded from each
+query's wall by memprobe's measurement point); it is NOT comparable to
+bench.py's shared-session totals — compare solo-to-solo across scales.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1]
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(REPO, "BENCH_SOLO_SWEEP.json")
+    )
+    sys.path.insert(0, REPO)
+    from movie_etl_spark.plans.catalog import QUERIES
+
+    names = sys.argv[3:] or list(QUERIES)
+    memprobe = os.path.join(REPO, "tools", "memprobe.py")
+    results: dict = {}
+    errors: dict = {}
+    for i, q in enumerate(names):
+        r = subprocess.run(
+            [sys.executable, memprobe, "--solo", sf_dir, q],
+            capture_output=True,
+            text=True,
+        )
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            row = json.loads(lines[-1])
+            row.pop("query", None)
+            results[q] = row
+            print(f"[{i + 1}/{len(names)}] {q}: {row.get('wall_s')}s", flush=True)
+        else:
+            err = [
+                l
+                for l in (r.stderr or "").splitlines()
+                if "Error" in l or "error" in l
+            ]
+            errors[q] = (err[0] if err else f"rc={r.returncode}")[:300]
+            print(f"[{i + 1}/{len(names)}] {q}: FAIL {errors[q][:120]}", flush=True)
+    out = {
+        "protocol": "solo-per-process",
+        "sf_dir": sf_dir,
+        "n_pass": len(results),
+        "n_fail": len(errors),
+        "total_wall_s": round(sum(v.get("wall_s", 0) for v in results.values()), 1),
+        "queries": results,
+    }
+    if errors:
+        out["errors"] = errors
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        json.dumps(
+            {
+                "n_pass": out["n_pass"],
+                "n_fail": out["n_fail"],
+                "total_wall_s": out["total_wall_s"],
+                "out": out_path,
+            }
+        )
+    )
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
