@@ -152,13 +152,23 @@ def broadcast_tracked(bc):
     return bc
 
 
-def release_caches(blocking: bool = False) -> None:
-    """Unpersist every operator-cached DataFrame and destroy every
-    operator-built sc.broadcast registered so far."""
+def release_caches(blocking: bool = False, destroy_broadcasts: bool = False) -> None:
+    """Unpersist every operator-cached DataFrame and every operator-built
+    sc.broadcast registered so far.
+
+    Broadcasts are ``unpersist()``-ed by default: executor and driver
+    blocks are dropped, but a still-referenced result DataFrame (e.g.
+    an ``ivf_top_k`` output consumed *after* this call) transparently
+    re-ships the value at its next action — benign recompute, same as
+    the DataFrame caches.  Pass ``destroy_broadcasts=True`` only at
+    terminal teardown (end of a bench session): ``destroy()`` makes any
+    later task dereference a hard failure at action time (ADVICE r13).
+    """
     while _CACHED:
         _CACHED.pop().unpersist(blocking=blocking)
     while _BROADCASTS:
-        _BROADCASTS.pop().destroy()
+        bc = _BROADCASTS.pop()
+        bc.destroy() if destroy_broadcasts else bc.unpersist(blocking=blocking)
 
 
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:

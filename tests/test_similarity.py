@@ -503,11 +503,13 @@ def test_ivf_top_k_nonintegral_id_falls_back_to_join_path(spark):
     assert out.count() > 0
 
 
-def test_release_caches_destroys_grouped_scoring_broadcast(spark):
-    """ADVICE r12: the grouped path's pickled sc.broadcast (the
-    per-centroid matrices) must be tracked and destroyed by
-    release_caches — repeated ivf_top_k calls in one bench session must
-    not accumulate broadcast blocks."""
+def test_release_caches_releases_grouped_scoring_broadcast(spark):
+    """ADVICE r12 + r13: the grouped path's pickled sc.broadcast (the
+    per-centroid matrices) must be tracked by release_caches — repeated
+    ivf_top_k calls in one bench session must not accumulate broadcast
+    blocks.  The default release UNPERSISTS (a result consumed after
+    the release re-ships the value — benign recompute, ADVICE r13);
+    only the terminal ``destroy_broadcasts=True`` form destroys."""
     from movie_etl_spark import session as sess
     from movie_etl_spark.operators.similarity import ivf_top_k
 
@@ -520,10 +522,21 @@ def test_release_caches_destroys_grouped_scoring_broadcast(spark):
     bc = sess._BROADCASTS[0]
     sess.release_caches()
     assert not sess._BROADCASTS
+    assert bc.value is not None  # unpersisted, NOT destroyed: still usable
+
+    # terminal form: destroy — the pickled driver file is unlinked, so
+    # any task (or uncached driver read) that dereferences it fails
+    import os
+
+    sess._BROADCASTS.append(bc)
+    sess.release_caches(destroy_broadcasts=True)
+    assert not sess._BROADCASTS
+    assert not os.path.exists(bc._path)
+    del bc._value  # drop the driver-side cache to prove the load fails
     import pytest as _pytest
 
     with _pytest.raises(Exception):
-        bc.value  # destroyed: any further access must fail
+        bc.value
 
 
 def test_block_topk_keep_verdicts_and_margins():

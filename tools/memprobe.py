@@ -100,6 +100,13 @@ def main() -> int:
     import subprocess
     import sys
 
+    usage = (
+        "usage: python tools/memprobe.py <sf_dir> <query...>\n"
+        "       python tools/memprobe.py --solo <sf_dir> <query>"
+    )
+    if len(sys.argv) < 3 or (sys.argv[1] == "--solo" and len(sys.argv) < 4):
+        print(usage, file=sys.stderr)
+        return 2
     if sys.argv[1] == "--solo":
         _solo(sys.argv[2], sys.argv[3])
         return 0
