@@ -38,6 +38,14 @@ from movie_etl_spark.session import ensure_parallelism
 #: strategy and the scoring falls back to the Arrow pair fold.
 _IVF_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
+#: largest n_centroids x estimated-corpus-bytes product for which
+#: ivf_top_k keeps the FAT rank window (vector-attached rank rows,
+#: cached whole in the self-search case). Past this the skinny
+#: rank-window + join-back shape takes over — see the r14 note inside
+#: ivf_top_k. 2.5 GiB keeps the measured-safe sf3 point (2.1 GB) fat
+#: with ~3x margin to the measured sf10 OOM (7 GB).
+_IVF_FAT_RANK_MAX_BYTES = 2_560 * 1024 * 1024
+
 
 #: safety margin (in cosine units) for the in-block top-k prune: the
 #: final ranking key is the cosine ROUNDED to 6 dp, so two raw cosines
@@ -493,7 +501,32 @@ def ivf_top_k(
     """
     cents = F.broadcast(_centroids(corpus, n_centroids, id_col, vec_col))
 
-    def assign(df: DataFrame, out_id: str, out_vec: str, out_norm: str) -> DataFrame:
+    # Corpus sizing stats run UP FRONT (r14) because they now drive TWO
+    # shape decisions: the rank-window shape here and the scoring
+    # strategy below. One cheap aggregate over the raw corpus (count +
+    # median dim); the r12 cache-warming variant (agg over the cached
+    # assignment) is superseded — the scoring stage warms the cache on
+    # its first read instead.
+    _stats = corpus.agg(
+        F.count("*").alias("n"), F.avg(F.size(vec_col)).alias("d")
+    ).first()
+    est_bytes = (_stats["n"] or 0) * ((_stats["d"] or 0.0) * 8 + 48)
+    # The fat-rank shape windows (and in the self-search case caches)
+    # one vector-attached row per (vector, centroid) — n_centroids x
+    # est_bytes. Cheapest at bench scales (one pass, one cache, no
+    # join-back), but at factor 100 that frame is ~64 x 112 MB = 7 GB
+    # and OOM'd the 8g heap (found by the first full-catalog sf10
+    # sweep). Past the cap the skinny shape runs the window on
+    # (id, centroid, score) only and joins vectors back by id.
+    # 2.5 GiB keeps the measured-safe sf3 point (2.1 GB fat frame,
+    # unified peak 1.4 GB) on the fast shape with ~3x margin to the
+    # measured OOM point.
+    _fat_rank_ok = est_bytes * n_centroids <= _IVF_FAT_RANK_MAX_BYTES
+
+    def assign_fat(df: DataFrame, out_id: str, out_vec: str, out_norm: str):
+        """Rank frame with the vector riding through the window —
+        one pass, right shape while n_centroids x corpus bytes is
+        cache-sized."""
         scored = ensure_parallelism(df).select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
@@ -505,17 +538,38 @@ def ivf_top_k(
         w = Window.partitionBy(out_id).orderBy(
             F.col("c_cos").desc(), F.col("centroid_id").asc()
         )
-        return scored.withColumn("_rn", F.row_number().over(w)).drop("c_vec", "_centn")
+        return scored.withColumn("_rn", F.row_number().over(w)).drop(
+            "c_vec", "_centn"
+        )
 
-    if queries is corpus:
+    def assign_skinny(df: DataFrame, out_id: str, out_vec: str, out_norm: str):
+        """(fat, ranked): ``fat`` carries each vector ONCE; ``ranked``
+        is the SKINNY (id, centroid_id, c_cos, _rn) frame the
+        per-vector window runs on — ranking needs only (id, score).
+        Slices join their vectors back from ``fat`` by id."""
+        fat = ensure_parallelism(df).select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            l2_norm(vec_col).alias(out_norm),
+        )
+        scored = fat.crossJoin(cents).withColumn(
+            "c_cos",
+            F.round(cosine_from_norms(out_vec, "c_vec", out_norm, "_centn"), 6),
+        ).select(out_id, "centroid_id", "c_cos")
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("c_cos").desc(), F.col("centroid_id").asc()
+        )
+        return fat, scored.withColumn("_rn", F.row_number().over(w))
+
+    from movie_etl_spark.session import cache_tracked
+
+    if queries is corpus and _fat_rank_ok:
         # self-search (the common dedup/recommendation case): the
         # centroid scoring + ranking pass is identical for both sides —
         # compute it once, cache it, slice twice (rn==1 assignment,
         # rn<=n_probe probes) instead of paying the bounded cross join
         # and the per-vector window twice
-        from movie_etl_spark.session import cache_tracked
-
-        ranked = cache_tracked(assign(corpus, "neighbor_id", "c_vec_n", "_cn"))
+        ranked = cache_tracked(assign_fat(corpus, "neighbor_id", "c_vec_n", "_cn"))
         corpus_assigned = ranked.filter(F.col("_rn") == 1).select(
             "neighbor_id", "c_vec_n", "_cn", "centroid_id"
         )
@@ -525,19 +579,66 @@ def ivf_top_k(
             F.col("_cn").alias("_qn"),
             "centroid_id",
         )
-    else:
-        from movie_etl_spark.session import cache_tracked
-
-        # cached: read twice — once by the sizing stats below, once by
-        # the scoring stage (grouped collect or equi-join)
+    elif queries is corpus:
+        # factor-100 self-search: same compute-once/slice-twice idea,
+        # but both caches are bounded — fat is |C| vector rows, ranked
+        # keeps only the <= n_probe skinny rank rows either slice
+        # reads. SHUFFLE_HASH builds from the skinny rank slices
+        # (cached frames have no usable size stats, so the planner
+        # would otherwise SORT-merge — sorting the vector-carrying
+        # side): hash-build the (id, centroid) rows, stream the
+        # vectors unsorted.
+        fat, ranked = assign_skinny(corpus, "neighbor_id", "c_vec_n", "_cn")
+        fat = cache_tracked(fat)
+        ranked = cache_tracked(ranked.filter(F.col("_rn") <= max(1, n_probe)))
+        corpus_assigned = (
+            ranked.filter(F.col("_rn") == 1)
+            .select("neighbor_id", "centroid_id")
+            .hint("shuffle_hash")
+            .join(fat, "neighbor_id")
+            .select("neighbor_id", "c_vec_n", "_cn", "centroid_id")
+        )
+        query_probes = (
+            ranked.select(F.col("neighbor_id").alias("query_id"), "centroid_id")
+            .hint("shuffle_hash")
+            .join(
+                fat.select(
+                    F.col("neighbor_id").alias("query_id"),
+                    F.col("c_vec_n").alias("q_vec"),
+                    F.col("_cn").alias("_qn"),
+                ),
+                "query_id",
+            )
+            .select("query_id", "q_vec", "_qn", "centroid_id")
+        )
+    elif _fat_rank_ok:
+        # cached: read twice — once by the sizing stats that used to
+        # live here, now by the scoring stage's two consumers
         corpus_assigned = cache_tracked(
-            assign(corpus, "neighbor_id", "c_vec_n", "_cn")
+            assign_fat(corpus, "neighbor_id", "c_vec_n", "_cn")
             .filter(F.col("_rn") == 1)
             .select("neighbor_id", "c_vec_n", "_cn", "centroid_id")
         )
         query_probes = (
-            assign(queries, "query_id", "q_vec", "_qn")
+            assign_fat(queries, "query_id", "q_vec", "_qn")
             .filter(F.col("_rn") <= n_probe)
+            .select("query_id", "q_vec", "_qn", "centroid_id")
+        )
+    else:
+        cfat, cranked = assign_skinny(corpus, "neighbor_id", "c_vec_n", "_cn")
+        corpus_assigned = cache_tracked(
+            cranked.filter(F.col("_rn") == 1)
+            .select("neighbor_id", "centroid_id")
+            .hint("shuffle_hash")
+            .join(cfat, "neighbor_id")
+            .select("neighbor_id", "c_vec_n", "_cn", "centroid_id")
+        )
+        qfat, qranked = assign_skinny(queries, "query_id", "q_vec", "_qn")
+        query_probes = (
+            qranked.filter(F.col("_rn") <= n_probe)
+            .select("query_id", "centroid_id")
+            .hint("shuffle_hash")
+            .join(qfat, "query_id")
             .select("query_id", "q_vec", "_qn", "centroid_id")
         )
     # The candidate fan-out is the pair-dominant stage (~|Q| *
@@ -553,15 +654,8 @@ def ivf_top_k(
     # ranking stay in Spark either way. The assignment pass above is
     # JVM-side always — its pair count is only N * n_centroids.
     denom = F.col("_qn") * F.col("_cn")
-    # Sizing stats read the CACHED assignment (ADVICE r12): in the
-    # self-search case corpus_assigned slices the cached ranked frame,
-    # in the two-sided case it is cache_tracked above — either way the
-    # agg warms the cache the scoring stage re-reads, instead of paying
-    # an extra full scan of the raw corpus per call.
-    stats = corpus_assigned.agg(
-        F.count("*").alias("n"), F.avg(F.size("c_vec_n")).alias("d")
-    ).first()
-    est_bytes = (stats["n"] or 0) * ((stats["d"] or 0.0) * 8 + 48)
+    # est_bytes was computed up front (it also picked the rank-window
+    # shape above); the broadcast decision below reuses it.
     # The grouped path materializes id arrays in numpy; integral and
     # string ids round-trip Arrow with their source types (the output
     # schema is derived from the inputs). Anything more exotic

@@ -73,6 +73,22 @@ def main() -> int:
             ]
             errors[q] = (err[0] if err else f"rc={r.returncode}")[:300]
             print(f"[{i + 1}/{len(names)}] {q}: FAIL {errors[q][:120]}", flush=True)
+    # merge into an existing record (same sf_dir) so a targeted re-run
+    # re-pins single cells without clobbering the full sweep — a
+    # re-run name's previous error entry is retired by its new result
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = {}
+        if prev.get("sf_dir") == sf_dir:
+            merged_err = {
+                k: v for k, v in prev.get("errors", {}).items() if k not in names
+            }
+            merged_err.update(errors)
+            errors = merged_err
+            results = {**prev.get("queries", {}), **results}
     out = {
         "protocol": "solo-per-process",
         "sf_dir": sf_dir,
