@@ -27,6 +27,14 @@ from movie_etl_spark.operators.reshape import (
 )
 from movie_etl_spark.operators.upsert import dedup_by_key
 
+#: largest movie count for which build_movie_graph's reuse_shared
+#: checkpoints stay in memory (MEMORY_AND_DISK); above it they go
+#: DISK_ONLY — see the size-conditional note inside build_movie_graph.
+#: 2M keeps the measured-flat sf1 point (1.5M movies, ~0.5 GB) in
+#: memory; factor-30+ corpora (4.5M/15M movies, 1-3 GB of node
+#: strings) take the disk trade.
+_SHARED_NODES_MEMORY_MAX = 2_000_000
+
 
 def movie_nodes(clean_movies: DataFrame) -> DataFrame:
     """Movie node table (flows/etl_flow.py:250-261 property projection)."""
@@ -76,30 +84,40 @@ def build_movie_graph(
     every edge build joins against — Movie and Person — so consumers
     that execute MANY of the returned tables as separate actions (the
     17-table full materialization; g2's parity sweep) don't re-run the
-    dedup-window lineage per action. DISK_ONLY (r14, VERDICT r13
-    item 3): the default MEMORY_AND_DISK level kept ~3 GB of node
-    strings (title/overview/ids for 15M movies at factor 100) in
-    storage memory for data the edge builds never read — build_edges
-    selects the key column before its semi joins, and the full frames
-    are each consumed by one output branch. On disk the re-reads
-    stream through the OS page cache while the whole unified pool
-    serves the branch sorts/aggs — the same trade the doc-corpus
-    checkpoint makes (catalog.py q_g2). The EAGER materialization also
-    matters: it runs the two dedup-window sorts serialized, before the
-    many-branch consumer action, so their execution peaks don't stack
-    on the branch aggregates' (measured: splitting key-only
-    checkpoints out and letting the full frames recompute inside
-    the 17-branch union raised the sf10 execution peak 3008 ->
-    4735 MB and the wall 218 -> 350 s). At cluster scale the same
-    role is played by writing nodes first and reading them back for
-    the edge builds; leave False when only one or two tables will
-    execute.
+    dedup-window lineage per action. The storage level is
+    size-conditional (r14, VERDICT r13 item 3) — in memory for small
+    corpora, DISK_ONLY past ``_SHARED_NODES_MEMORY_MAX`` movies (see
+    the inline note). The EAGER materialization also matters: it runs
+    the two dedup-window sorts serialized, before the many-branch
+    consumer action, so their execution peaks don't stack on the
+    branch aggregates' (measured: splitting key-only checkpoints out
+    and letting the full frames recompute inside the 17-branch union
+    raised the sf10 execution peak 3008 -> 4735 MB and the wall
+    218 -> 350 s). At cluster scale the same role is played by writing
+    nodes first and reading them back for the edge builds; leave False
+    when only one or two tables will execute.
     """
     from pyspark.storagelevel import StorageLevel
 
+    shared_level = StorageLevel.MEMORY_AND_DISK
+    if reuse_shared:
+        # Size-conditional storage level (r14): one cheap count picks
+        # the trade. Small corpora keep the node tables in memory —
+        # the 17-branch re-reads are free and the frames are a few MB.
+        # Past the cap the checkpoints go DISK_ONLY: at factor 100 the
+        # in-memory level held ~3 GB of node strings in storage memory
+        # for data the edge builds never read (they select the key
+        # before their semi joins), and freeing the unified pool for
+        # the branch sorts measured g2 sf10 218 -> 176.7 s with the
+        # query completing at 7 GiB where 8 was required — while at
+        # bench scale the catalog-warm g2 cell paid ~+2 s of real disk
+        # re-reads for memory it never needed back.
+        if clean_movies.select("movie_id").count() > _SHARED_NODES_MEMORY_MAX:
+            shared_level = StorageLevel.DISK_ONLY
+
     movies = movie_nodes(clean_movies)
     if reuse_shared:
-        movies = movies.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        movies = movies.localCheckpoint(storageLevel=shared_level)
     out: dict[str, DataFrame] = {"nodes/Movie": movies}
 
     genre_bridge = explode_bridge(clean_movies, "movie_id", "genre_ids", "genre_id")
@@ -127,7 +145,7 @@ def build_movie_graph(
 
     persons = person_nodes(clean_movies)
     if reuse_shared:
-        persons = persons.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        persons = persons.localCheckpoint(storageLevel=shared_level)
     out["nodes/Person"] = persons
 
     acted = explode_cast(clean_movies).withColumnRenamed("character", "role")
