@@ -36,6 +36,14 @@ policy executable:
 ``DRIVER_PRIORITY``; run ``python tools/ledger.py`` for a human-readable
 audit (cohort sizes per round + the next round's mandatory front-load
 list).
+
+``python tools/ledger.py --commit-artifacts`` (VERDICT r13/r14 item #2)
+is the mechanical round-open step: it stages any untracked or modified
+driver artifacts (``CORRECTNESS_r*.json``, ``BENCH_r*.json``,
+``BENCH_LOCAL.json``, ``VERDICT.md``, ``ADVICE.md``) and commits them as
+``rN open: commit driver artifacts``.  No-op (exit 0, message printed)
+when the tree already carries them — the driver sometimes commits its
+own artifacts at round close, sometimes leaves them untracked.
 """
 
 from __future__ import annotations
@@ -44,6 +52,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 from collections import Counter
 
@@ -113,7 +122,50 @@ def staleness_violations(
     return [q for q in required if q not in slots]
 
 
+ARTIFACT_PATTERNS = [
+    "CORRECTNESS_r*.json",
+    "BENCH_r*.json",
+    "BENCH_LOCAL.json",
+    "VERDICT.md",
+    "ADVICE.md",
+]
+
+
+def commit_artifacts(repo: str = REPO) -> int:
+    """Stage + commit driver-written artifacts if any are dirty/untracked.
+
+    The round driver writes CORRECTNESS_rN.json / BENCH_rN.json (and may
+    rewrite BENCH_LOCAL.json, VERDICT.md, ADVICE.md) AFTER the builder's
+    last commit, so they land on disk uncommitted at the next round open.
+    This makes committing them a one-command first action (VERDICT r13 &
+    r14 item #2).  Returns 0 on no-op or successful commit.
+    """
+    dirty: list[str] = []
+    for pat in ARTIFACT_PATTERNS:
+        for path in sorted(glob.glob(os.path.join(repo, pat))):
+            rel = os.path.relpath(path, repo)
+            status = subprocess.run(
+                ["git", "status", "--porcelain", "--", rel],
+                cwd=repo, capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            if status:
+                dirty.append(rel)
+    if not dirty:
+        print("commit-artifacts: tree already carries all driver "
+              "artifacts (no-op)")
+        return 0
+    rnd = current_round(repo) - 1  # artifacts belong to the round just closed
+    subprocess.run(["git", "add", "--", *dirty], cwd=repo, check=True)
+    msg = f"r{rnd} open: commit driver artifacts ({', '.join(dirty)})"
+    subprocess.run(["git", "commit", "-m", msg], cwd=repo, check=True)
+    print(f"commit-artifacts: committed {len(dirty)} file(s): "
+          f"{' '.join(dirty)}")
+    return 0
+
+
 def main() -> int:
+    if "--commit-artifacts" in sys.argv[1:]:
+        return commit_artifacts()
     sys.path.insert(0, REPO)
     from movie_etl_spark.plans.catalog import DRIVER_PRIORITY, QUERIES
 
