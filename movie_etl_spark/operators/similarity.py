@@ -499,6 +499,12 @@ def ivf_top_k(
     Ties break to the lowest centroid id, so assignment is total and
     deterministic across engines.
     """
+    if n_probe < 1:
+        # ADVICE r14: the skinny self-search path read max(1, n_probe)
+        # rank rows while the fat path read none — shape-dependent
+        # behavior at a parameter that is nonsensical anyway (probing
+        # zero centroid lists returns nothing by construction).
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     cents = F.broadcast(_centroids(corpus, n_centroids, id_col, vec_col))
 
     # Corpus sizing stats run UP FRONT (r14) because they now drive TWO
@@ -590,7 +596,9 @@ def ivf_top_k(
         # vectors unsorted.
         fat, ranked = assign_skinny(corpus, "neighbor_id", "c_vec_n", "_cn")
         fat = cache_tracked(fat)
-        ranked = cache_tracked(ranked.filter(F.col("_rn") <= max(1, n_probe)))
+        # n_probe >= 1 is validated at entry, so this cache holds exactly
+        # the rank rows both slices below read (rn==1 is a subset)
+        ranked = cache_tracked(ranked.filter(F.col("_rn") <= n_probe))
         corpus_assigned = (
             ranked.filter(F.col("_rn") == 1)
             .select("neighbor_id", "centroid_id")

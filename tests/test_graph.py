@@ -17,7 +17,7 @@ from movie_etl_spark.schemas import RAW_MOVIE_DETAILS
 
 
 @pytest.fixture(scope="module")
-def graph(spark):
+def clean_movies(spark):
     # two movies sharing a person; one person with two characters in one
     # movie (the ACTED_IN dedup case); one unknown crew department
     docs = [
@@ -80,7 +80,12 @@ def graph(spark):
         [{f.name: d.get(f.name) for f in RAW_MOVIE_DETAILS.fields} for d in docs],
         RAW_MOVIE_DETAILS,
     )
-    return build_movie_graph(clean_movie_details(raw))
+    return clean_movie_details(raw)
+
+
+@pytest.fixture(scope="module")
+def graph(clean_movies):
+    return build_movie_graph(clean_movies)
 
 
 def test_node_uniqueness(graph):
@@ -162,3 +167,41 @@ def test_rollback_movie_cascades_all_tables(graph):
     again = rollback_movie(rolled, [1])
     assert again["nodes/Movie"].count() == 1
     assert again["edges/ACTED_IN"].count() == rolled["edges/ACTED_IN"].count()
+
+
+def test_shared_node_checkpoint_level_flips_disk_only_past_cap(
+    spark, clean_movies, monkeypatch
+):
+    """ADVICE r14: the size-conditional storage gate in build_movie_graph
+    (r14's g2 sf10 fix) must flip the shared Movie/Person checkpoints to
+    DISK_ONLY past _SHARED_NODES_MEMORY_MAX and keep MEMORY_AND_DISK
+    below it — pinned by spying the level handed to localCheckpoint,
+    since a regression in the gate is invisible below factor-30 scale."""
+    # Spark 4: classic sessions instantiate the CONCRETE subclass in
+    # pyspark.sql.classic.dataframe, whose localCheckpoint overrides the
+    # abstract pyspark.sql.DataFrame one — patch where lookup resolves
+    from pyspark.sql.classic.dataframe import DataFrame
+    from pyspark.storagelevel import StorageLevel
+
+    from movie_etl_spark.plans import graph as graph_mod
+
+    levels: list = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True, storageLevel=None):
+        levels.append(storageLevel)
+        return orig(self, eager=eager, storageLevel=storageLevel)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+
+    monkeypatch.setattr(graph_mod, "_SHARED_NODES_MEMORY_MAX", 0)
+    build_movie_graph(clean_movies, reuse_shared=True)
+    assert levels == [StorageLevel.DISK_ONLY, StorageLevel.DISK_ONLY]
+
+    levels.clear()
+    monkeypatch.setattr(graph_mod, "_SHARED_NODES_MEMORY_MAX", 2_000_000)
+    build_movie_graph(clean_movies, reuse_shared=True)
+    assert levels == [
+        StorageLevel.MEMORY_AND_DISK,
+        StorageLevel.MEMORY_AND_DISK,
+    ]

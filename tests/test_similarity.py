@@ -655,3 +655,64 @@ def test_ivf_pruned_grouped_matches_unpruned_on_random_corpus(spark):
     finally:
         similarity._grouped_dot_pairs = orig
     assert pruned == full and pruned
+
+
+def test_ivf_skinny_rank_path_matches_fat_path(spark, monkeypatch):
+    """ADVICE r14: forcing _IVF_FAT_RANK_MAX_BYTES to 0 routes ivf_top_k
+    through the skinny rank-window + SHUFFLE_HASH join-back shape (the
+    factor-100 OOM fix); its output must be IDENTICAL to the fat shape
+    for BOTH the self-search (queries is corpus) and two-sided branches,
+    including the malformed-row corpora (NULL vector, NaN element,
+    ragged width, zero norm)."""
+    import math
+
+    from movie_etl_spark.operators import similarity
+
+    rows = [
+        (i, [1.0 * (i % 5), -1.0, 2.0 + i % 3, 0.5]) for i in range(40)
+    ] + [
+        (100, None),                           # NULL vector
+        (101, [1.0, float("nan"), 2.0, 0.5]),  # NaN element
+        (102, [1.0, 2.0]),                     # ragged width
+        (103, [0.0, 0.0, 0.0, 0.0]),           # zero norm
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id % 2 = 0")  # distinct frame: two-sided
+
+    def run(q, c):
+        return {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in similarity.ivf_top_k(
+                q, c, k=3, n_centroids=8, n_probe=3
+            ).collect()
+        }
+
+    def canon(s):
+        return {
+            (q, n, "nan" if isinstance(c, float) and math.isnan(c) else c, r)
+            for (q, n, c, r) in s
+        }
+
+    fat_self, fat_two = run(corpus, corpus), run(queries, corpus)
+    monkeypatch.setattr(similarity, "_IVF_FAT_RANK_MAX_BYTES", 0)
+    skinny_self, skinny_two = run(corpus, corpus), run(queries, corpus)
+
+    assert canon(fat_self) == canon(skinny_self)
+    assert canon(fat_two) == canon(skinny_two)
+    assert fat_self and fat_two  # non-vacuous
+
+
+def test_ivf_rejects_n_probe_below_one(spark):
+    """ADVICE r14: n_probe < 1 used to behave differently per rank-window
+    shape (skinny self-search probed rn==1, fat probed nothing); it is
+    now rejected at entry on every shape."""
+    import pytest as _pytest
+
+    from movie_etl_spark.operators.similarity import ivf_top_k
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="n_probe"):
+        ivf_top_k(df, df, k=1, n_centroids=2, n_probe=0)

@@ -223,3 +223,26 @@ def test_bench_lossless_target_failed_run_writes_sidecar():
     assert bench.lossless_target(True, "/root/testdata/sf0.1", True) == (
         "BENCH_SUBSET.err.json"
     )
+
+
+def test_solo_sweep_merge_retires_pass_to_fail_regression():
+    """ADVICE r14 (medium): a targeted re-run whose query newly FAILS
+    must retire the stale passing entry — not double-book the query in
+    both 'queries' and 'errors'."""
+    from solo_sweep import _merge_prev
+
+    prev = {
+        "sf_dir": "/tmp/sf10",
+        "queries": {"g2": {"wall_s": 176.7}, "v3": {"wall_s": 83.1}},
+        "errors": {"dd9": "OOM"},
+    }
+    # re-run g2 (now fails) and dd9 (now passes)
+    results, errors = _merge_prev(
+        prev, "/tmp/sf10", ["g2", "dd9"],
+        {"dd9": {"wall_s": 91.5}}, {"g2": "rc=137"},
+    )
+    assert "g2" not in results and errors == {"g2": "rc=137"}
+    assert results == {"v3": {"wall_s": 83.1}, "dd9": {"wall_s": 91.5}}
+    # a different sf_dir must not merge at all
+    r2, e2 = _merge_prev(prev, "/tmp/sf3", ["g2"], {}, {"g2": "rc=1"})
+    assert r2 == {} and e2 == {"g2": "rc=1"}

@@ -39,6 +39,35 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _merge_prev(
+    prev: dict, sf_dir: str, names: list, results: dict, errors: dict
+) -> tuple[dict, dict]:
+    """Merge a targeted re-run into an existing same-``sf_dir`` record.
+
+    A re-run name's previous entry — pass OR fail — is retired by its new
+    result: its old error row is dropped if it now passes, and (ADVICE
+    r14) its old passing row is dropped if it now FAILS, so a
+    pass-to-fail regression can't leave the query double-booked in both
+    ``queries`` (stale wall, inflating n_pass/total_wall_s) and
+    ``errors``.
+    """
+    if prev.get("sf_dir") != sf_dir:
+        return results, errors
+    merged_err = {
+        k: v for k, v in prev.get("errors", {}).items() if k not in names
+    }
+    merged_err.update(errors)
+    merged_res = {
+        **{
+            k: v
+            for k, v in prev.get("queries", {}).items()
+            if k not in merged_err
+        },
+        **results,
+    }
+    return merged_res, merged_err
+
+
 def main() -> int:
     sf_dir = sys.argv[1]
     out_path = (
@@ -82,13 +111,7 @@ def main() -> int:
                 prev = json.load(f)
         except (OSError, ValueError):
             prev = {}
-        if prev.get("sf_dir") == sf_dir:
-            merged_err = {
-                k: v for k, v in prev.get("errors", {}).items() if k not in names
-            }
-            merged_err.update(errors)
-            errors = merged_err
-            results = {**prev.get("queries", {}), **results}
+        results, errors = _merge_prev(prev, sf_dir, names, results, errors)
     out = {
         "protocol": "solo-per-process",
         "sf_dir": sf_dir,
