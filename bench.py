@@ -66,7 +66,39 @@ def lossless_target(selected: bool, sf_dir: str, failed: bool) -> str:
     return local
 
 
+def _proc_stat() -> list[int] | None:
+    try:
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+    except (OSError, ValueError):
+        return None
+
+
+def host_window(before: list[int] | None, after: list[int] | None) -> dict:
+    """Steal/busy attribution for the run window (r15).
+
+    Three rounds of sf1 refreshes read 283–342 s against r12's 251.1 on
+    byte-identical plans with solo A/Bs flat — and each adjudication had
+    to infer contention from sentinel queries because nothing recorded
+    the HOST over the window.  Each bench run now samples /proc/stat at
+    start and end: ``steal_pct`` is the hypervisor neighbor signal
+    (bursty — an idle-time probe misses it), ``busy_pct`` is total
+    non-idle (mostly this run's own Spark load at local[32]).
+    """
+    if not before or not after:
+        return {}
+    d = [y - x for x, y in zip(before, after)]
+    total = sum(d) or 1
+    idle = d[3] + (d[4] if len(d) > 4 else 0)  # idle + iowait
+    steal = d[7] if len(d) > 7 else 0
+    return {
+        "steal_pct": round(100.0 * steal / total, 2),
+        "busy_pct": round(100.0 * (total - idle) / total, 2),
+    }
+
+
 def main() -> None:
+    stat0 = _proc_stat()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -109,6 +141,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf_from_dir(SF_DIR),
+        **host_window(stat0, _proc_stat()),
     }
     if errors:
         out["n_failed"] = len(errors)

@@ -1,0 +1,141 @@
+"""Host-capability probe (r15): normalize inter-round bench drift.
+
+Three rounds running (r13/r14/r15), the sf1 catalog refresh has read
+283–314 s against r12's 251.1 with the inflation BROAD across untouched
+parallel-heavy queries, per-query plans byte-identical (PLAN_AUDIT), and
+solo A/Bs flat — the "host, not plan" adjudication each time.  The
+missing instrument: each round boots a FRESH VM (uptime at r15's sf1
+attempt was 7h54m; /tmp/sf1 was regenerated the same boot), so
+round-over-round wall comparisons silently assume identical hardware.
+
+This probe measures the machine itself — no Spark, no repo code — and
+appends one record per invocation to HOSTPROBE.json:
+
+- ``sha256_1t_mbps``   single-thread CPU (hashlib over 256 MB)
+- ``matmul_gflops``    threaded BLAS (numpy 2048^2 float64 matmul x3)
+- ``memcpy_gbps``      memory bandwidth (1 GiB ndarray copy x3, best)
+- ``disk_read_mbps``   cold-ish sequential read of the sf dir's parquet
+- ``cpus`` / ``loadavg1`` / ``mem_total_gb`` / ``cpu_model``
+
+Usage::
+
+    python tools/hostprobe.py [label] [sf_dir]
+
+Read it next to a bench wall: if r16's probe reads 15% slower
+single-thread than r15's, a 15%-inflated catalog wall on flat plans is
+the machine, measured rather than asserted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "HOSTPROBE.json")
+
+
+def sha256_1t_mbps(mb: int = 256) -> float:
+    blk = os.urandom(1 << 20)
+    h = hashlib.sha256()
+    t0 = time.perf_counter()
+    for _ in range(mb):
+        h.update(blk)
+    return round(mb / (time.perf_counter() - t0), 1)
+
+
+def matmul_gflops(n: int = 2048, reps: int = 3) -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((n, n))
+    b = rng.standard_normal((n, n))
+    a @ b  # warm BLAS threads
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        a @ b
+        best = min(best, time.perf_counter() - t0)
+    return round(2 * n**3 / best / 1e9, 1)
+
+
+def memcpy_gbps(gib: float = 1.0, reps: int = 3) -> float:
+    import numpy as np
+
+    src = np.zeros(int(gib * (1 << 30)), dtype=np.uint8)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        src.copy()
+        best = min(best, time.perf_counter() - t0)
+    return round(2 * gib / best, 1)  # read + write
+
+
+def disk_read_mbps(sf_dir: str) -> float | None:
+    if not os.path.isdir(sf_dir):
+        return None
+    total = 0
+    t0 = time.perf_counter()
+    for dirpath, _dirnames, filenames in os.walk(sf_dir):
+        for fn in filenames:
+            if not fn.endswith(".parquet"):
+                continue
+            with open(os.path.join(dirpath, fn), "rb") as f:
+                while True:
+                    chunk = f.read(1 << 22)
+                    if not chunk:
+                        break
+                    total += len(chunk)
+    dt = time.perf_counter() - t0
+    return round(total / (1 << 20) / dt, 1) if total else None
+
+
+def cpu_model() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return "unknown"
+
+
+def main() -> int:
+    label = sys.argv[1] if len(sys.argv) > 1 else ""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    rec = {
+        "label": label,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "uptime_s": round(time.clock_gettime(time.CLOCK_BOOTTIME), 0),
+        "cpus": os.cpu_count(),
+        "loadavg1": round(os.getloadavg()[0], 2),
+        "mem_total_gb": round(
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30), 1
+        ),
+        "cpu_model": cpu_model(),
+        "sha256_1t_mbps": sha256_1t_mbps(),
+        "matmul_gflops": matmul_gflops(),
+        "memcpy_gbps": memcpy_gbps(),
+        "disk_read_mbps": disk_read_mbps(sf_dir),
+        "sf_dir": sf_dir,
+    }
+    records = []
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                records = json.load(f)
+        except (OSError, ValueError):
+            records = []
+    records.append(rec)
+    with open(OUT, "w") as f:
+        json.dump(records, f, indent=1)
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

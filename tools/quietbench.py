@@ -98,7 +98,11 @@ def main() -> int:
         # merge): a timeout or crash in run k must not discard runs 0..k-1
         _merge_run(record_path, full)
         completed += 1
-        print(f"run {i}: total={data.get('value')}s over {len(full)} queries")
+        host = "".join(
+            f" {k}={data[k]}" for k in ("steal_pct", "busy_pct") if k in data
+        )
+        print(f"run {i}: total={data.get('value')}s over {len(full)} "
+              f"queries{host}")
 
     if not completed:
         return 1

@@ -41,8 +41,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MB = 1024 * 1024
 
 
-def stage_table(spark, top_n: int = 8) -> list[dict]:
-    """Completed stages of this app, heaviest peakExecutionMemory first."""
+def _stage_wall_s(st: dict) -> float:
+    """Stage wall from the REST timestamps (submission -> completion)."""
+    try:
+        from datetime import datetime
+
+        fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+        a = datetime.strptime(st["firstTaskLaunchedTime"], fmt)
+        b = datetime.strptime(st["completionTime"], fmt)
+        return round((b - a).total_seconds(), 2)
+    except Exception:
+        return 0.0
+
+
+def stage_table(spark, top_n: int = 8, by: str = "peak_exec_mb") -> list[dict]:
+    """Completed stages of this app, heaviest ``by`` first.
+
+    ``by`` = ``peak_exec_mb`` (memory attribution, the r13 default) or
+    ``wall_s`` (r15: wall-time attribution — stage duration from first
+    task launch to completion; ``core_s`` rides along as summed
+    executorRunTime, the contention discriminator: wall inflated with
+    core_s flat = the stage waited on the host, not on more work)."""
     ui = spark.sparkContext.uiWebUrl
     if not ui:
         return []
@@ -68,17 +87,21 @@ def stage_table(spark, top_n: int = 8) -> list[dict]:
                     st.get("shuffleWriteBytes", 0) / MB, 1
                 ),
                 "tasks": st.get("numCompleteTasks", 0),
+                "wall_s": _stage_wall_s(st),
+                "core_s": round(st.get("executorRunTime", 0) / 1000.0, 1),
                 "name": (st.get("name") or "").splitlines()[0][:80],
             }
         )
-    rows.sort(key=lambda r: r["peak_exec_mb"], reverse=True)
+    rows.sort(key=lambda r: r.get(by, 0), reverse=True)
     return rows[:top_n]
 
 
 def main() -> int:
     os.environ["SPARK_GRAFT_UI"] = "true"
-    sf_dir, query = sys.argv[1], sys.argv[2]
-    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    by = "wall_s" if "--by=time" in sys.argv[1:] else "peak_exec_mb"
+    sf_dir, query = args[0], args[1]
+    top_n = int(args[2]) if len(args) > 2 else 8
 
     from movie_etl_spark.plans.catalog import QUERIES
     from movie_etl_spark.session import get_spark
@@ -104,7 +127,7 @@ def main() -> int:
                 "sf_dir": sf_dir,
                 "wall_s": wall,
                 **peaks,
-                "top_stages": stage_table(spark, top_n),
+                "top_stages": stage_table(spark, top_n, by),
             }
         )
     )
