@@ -58,17 +58,16 @@ def _session_heap_bytes(df: DataFrame) -> int:
     """JVM heap budget the edge builds will run under.  local[*]
     executes in the driver JVM (driver.memory); a real cluster's
     builds live in executors (executor.memory)."""
-    sc = df.sparkSession.sparkContext
-    conf = sc._jsc.sc().conf()
-    key = (
-        "spark.driver.memory"
-        if sc.master.startswith("local")
-        else "spark.executor.memory"
-    )
     try:
-        return int(conf.getSizeAsBytes(key, "1g"))
-    except Exception:  # conf probe must never fail the build
-        return 1024**3
+        sc = df.sparkSession.sparkContext
+        key = (
+            "spark.driver.memory"
+            if sc.master.startswith("local")
+            else "spark.executor.memory"
+        )
+        return int(sc._jsc.sc().conf().getSizeAsBytes(key, "1g"))
+    except Exception:  # conf probe must never fail the build (e.g. a
+        return 1024**3  # Connect session without _jsc -> SMJ, the safe side
 
 
 def movie_nodes(clean_movies: DataFrame) -> DataFrame:

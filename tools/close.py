@@ -58,9 +58,15 @@ LEAK_PATTERNS = {
 
 
 def _run(cmd: list[str], timeout: int = 3600) -> tuple[int, str]:
-    r = subprocess.run(
-        cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
-    )
+    """Run a gate step; a timeout is a FAIL row, never a gate crash
+    (r15: the sf1 selfcheck needs >60 min on slow host generations and
+    the first close.py run died uncaught at exactly the 3600 s mark)."""
+    try:
+        r = subprocess.run(
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
+        )
+    except subprocess.TimeoutExpired:
+        return 124, f"TIMEOUT after {timeout}s"
     return r.returncode, (r.stdout or "") + (r.stderr or "")
 
 
@@ -73,7 +79,11 @@ def step_selfcheck(skip_sf1: bool) -> list[tuple[str, str]]:
         if not os.path.isdir(sf_dir):
             out.append((f"selfcheck {sf_dir}", "SKIP (missing dir)"))
             continue
-        rc, text = _run([sys.executable, os.path.join(TOOLS, "selfcheck.py"), sf_dir])
+        # sf1's DuckDB oracles need >1 h on slow host generations
+        rc, text = _run(
+            [sys.executable, os.path.join(TOOLS, "selfcheck.py"), sf_dir],
+            timeout=7200,
+        )
         tail = [l for l in text.splitlines() if l.startswith("==")]
         out.append(
             (f"selfcheck {sf_dir}",
