@@ -246,3 +246,61 @@ def test_solo_sweep_merge_retires_pass_to_fail_regression():
     # a different sf_dir must not merge at all
     r2, e2 = _merge_prev(prev, "/tmp/sf3", ["g2"], {}, {"g2": "rc=1"})
     assert r2 == {} and e2 == {"g2": "rc=1"}
+
+
+def test_bench_host_window_steal_and_busy_attribution():
+    """r15: bench.py samples /proc/stat across the run; steal/busy must
+    be computed from the deltas, and a missing sample yields {} (never a
+    crash mid-bench)."""
+    import bench
+
+    # user nice system idle iowait irq softirq steal
+    before = [100, 0, 50, 800, 20, 0, 0, 30]
+    after = [300, 0, 100, 1200, 40, 0, 0, 60]
+    w = bench.host_window(before, after)
+    # deltas [200,0,50,400,20,0,0,30]: total=700, idle+iowait=420, steal=30
+    assert w == {"steal_pct": round(100 * 30 / 700, 2),
+                 "busy_pct": round(100 * 280 / 700, 2)}
+    assert bench.host_window(None, after) == {}
+    assert bench.host_window(before, None) == {}
+    # live sample parses
+    assert bench._proc_stat() is None or len(bench._proc_stat()) >= 8
+
+
+def test_close_run_timeout_is_a_fail_row_not_a_crash():
+    """r15: the sf1 selfcheck blew close.py's old 3600 s subprocess cap
+    and crashed the whole gate; a timeout must come back as a failing
+    returncode with a TIMEOUT message instead."""
+    import close
+
+    rc, text = close._run(["sleep", "5"], timeout=1)
+    assert rc == 124 and "TIMEOUT" in text
+
+
+def test_ledger_commit_artifacts_in_scratch_repo(tmp_path):
+    """r15 (VERDICT r14 item #2): --commit-artifacts commits dirty driver
+    artifacts with the round-open message and is a no-op on a clean
+    tree."""
+    import subprocess
+
+    from ledger import commit_artifacts
+
+    repo = str(tmp_path)
+    run = lambda *a: subprocess.run(  # noqa: E731
+        a, cwd=repo, check=True, capture_output=True, text=True
+    )
+    run("git", "init", "-q")
+    run("git", "config", "user.email", "t@t")
+    run("git", "config", "user.name", "t")
+    (tmp_path / "CORRECTNESS_r14.json").write_text("{}")
+    (tmp_path / "BENCH_r14.json").write_text("{}")
+    (tmp_path / "unrelated.py").write_text("x = 1\n")
+    assert commit_artifacts(repo) == 0
+    log = run("git", "log", "--oneline").stdout
+    assert "r14 open: commit driver artifacts" in log
+    status = run("git", "status", "--porcelain").stdout
+    # the artifacts are committed; unrelated files stay untracked
+    assert "CORRECTNESS" not in status and "unrelated.py" in status
+    # second invocation: clean no-op, no second commit
+    assert commit_artifacts(repo) == 0
+    assert run("git", "log", "--oneline").stdout == log
