@@ -9,8 +9,10 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from conftest import hyp_examples
+
 _settings = settings(
-    max_examples=12,
+    max_examples=hyp_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -297,7 +297,8 @@ def test_ledger_commit_artifacts_in_scratch_repo(tmp_path):
     (tmp_path / "unrelated.py").write_text("x = 1\n")
     assert commit_artifacts(repo) == 0
     log = run("git", "log", "--oneline").stdout
-    assert "r14 open: commit driver artifacts" in log
+    # label = OPENING round, artifact round named explicitly (ADVICE r15)
+    assert "r15 open: commit r14 driver artifacts" in log
     status = run("git", "status", "--porcelain").stdout
     # the artifacts are committed; unrelated files stay untracked
     assert "CORRECTNESS" not in status and "unrelated.py" in status

@@ -57,13 +57,16 @@ LEAK_PATTERNS = {
 }
 
 
-def _run(cmd: list[str], timeout: int = 3600) -> tuple[int, str]:
+def _run(
+    cmd: list[str], timeout: int = 3600, env: dict[str, str] | None = None
+) -> tuple[int, str]:
     """Run a gate step; a timeout is a FAIL row, never a gate crash
     (r15: the sf1 selfcheck needs >60 min on slow host generations and
     the first close.py run died uncaught at exactly the 3600 s mark)."""
     try:
         r = subprocess.run(
-            cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout
+            cmd, cwd=REPO, capture_output=True, text=True, timeout=timeout,
+            env={**os.environ, **env} if env else None,
         )
     except subprocess.TimeoutExpired:
         return 124, f"TIMEOUT after {timeout}s"
@@ -93,7 +96,13 @@ def step_selfcheck(skip_sf1: bool) -> list[tuple[str, str]]:
 
 
 def step_pytest() -> tuple[str, str]:
-    rc, text = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
+    # close runs property tests at 10x example budget, derandomized
+    # (tests/conftest.py reads this env var — VERDICT r15 #4: the r15
+    # close read green while a falsifying jpeg example sat undrawn)
+    rc, text = _run(
+        [sys.executable, "-m", "pytest", "tests/", "-q"],
+        env={"SPARK_GRAFT_HYP_PROFILE": "close"},
+    )
     tail = [l for l in text.splitlines() if "passed" in l or "failed" in l]
     return ("pytest",
             ("PASS " if rc == 0 else "FAIL ") + (tail[-1].strip() if tail else f"rc={rc}"))

@@ -154,9 +154,12 @@ def commit_artifacts(repo: str = REPO) -> int:
         print("commit-artifacts: tree already carries all driver "
               "artifacts (no-op)")
         return 0
-    rnd = current_round(repo) - 1  # artifacts belong to the round just closed
+    closed = current_round(repo) - 1  # artifacts belong to the round just closed
     subprocess.run(["git", "add", "--", *dirty], cwd=repo, check=True)
-    msg = f"r{rnd} open: commit driver artifacts ({', '.join(dirty)})"
+    # label with the OPENING round (this commit is its first act) and
+    # name the artifact round explicitly (ADVICE r15)
+    msg = (f"r{closed + 1} open: commit r{closed} driver artifacts "
+           f"({', '.join(dirty)})")
     subprocess.run(["git", "commit", "-m", msg], cwd=repo, check=True)
     print(f"commit-artifacts: committed {len(dirty)} file(s): "
           f"{' '.join(dirty)}")
