@@ -82,19 +82,80 @@ def host_window(before: list[int] | None, after: list[int] | None) -> dict:
     to infer contention from sentinel queries because nothing recorded
     the HOST over the window.  Each bench run now samples /proc/stat at
     start and end: ``steal_pct`` is the hypervisor neighbor signal
-    (bursty — an idle-time probe misses it), ``busy_pct`` is total
-    non-idle (mostly this run's own Spark load at local[32]).
+    (bursty — an idle-time probe misses it), ``busy_pct`` is this
+    guest's own non-idle share (mostly this run's Spark load at
+    local[32]); steal is EXCLUDED from busy — it is time the guest was
+    runnable but the host ran someone else (ADVICE r15).
+
+    The total is the first 8 fields only (user nice system idle iowait
+    irq softirq steal): Linux folds guest/guest_nice into user/nice
+    already, so summing all 10 double-counts nested-guest time and
+    deflates every percentage (ADVICE r15).
     """
     if not before or not after:
         return {}
     d = [y - x for x, y in zip(before, after)]
-    total = sum(d) or 1
+    total = sum(d[:8]) or 1
     idle = d[3] + (d[4] if len(d) > 4 else 0)  # idle + iowait
     steal = d[7] if len(d) > 7 else 0
     return {
         "steal_pct": round(100.0 * steal / total, 2),
-        "busy_pct": round(100.0 * (total - idle) / total, 2),
+        "busy_pct": round(100.0 * (total - idle - steal) / total, 2),
     }
+
+
+#: contended-run stamp (VERDICT r15 item #5). BENCH_r15.json carried
+#: steal_pct 5.46 yet nothing in-file marked the 248.9 s wall as a
+#: steal-burst, so a reader of the artifact alone could mistake it for
+#: a regression. A run is stamped ``"contended": true`` when either
+#: (a) hypervisor steal over the window is >= 1% (the r15 quiet close
+#: pairs measured 0.13–0.18%; the contended official run 5.46%), or
+#: (b) a plan-inert pure-scan sentinel runs >2x its BENCH_QUIET
+#: monotone min — scans are never plan-sensitive, so a slow scan
+#: indicts the host, not the code. Sentinel mins apply only at the
+#: default sf0.1 full-catalog shape (that is what BENCH_QUIET pins).
+SENTINELS = ("s1_discover", "o1_top_k", "d1_anti_join")
+STEAL_CONTENDED_PCT = 1.0
+SENTINEL_FACTOR = 2.0
+
+
+def contention(
+    host: dict, times: dict[str, float], quiet_mins: dict[str, float]
+) -> dict:
+    """``{"contended": bool, "contended_reasons": [...]}`` for the run."""
+    reasons: list[str] = []
+    steal = host.get("steal_pct")
+    if steal is not None and steal >= STEAL_CONTENDED_PCT:
+        reasons.append(f"steal_pct {steal} >= {STEAL_CONTENDED_PCT}")
+    for name in SENTINELS:
+        t, qmin = times.get(name), quiet_mins.get(name)
+        if t is not None and qmin and t > SENTINEL_FACTOR * qmin:
+            reasons.append(
+                f"{name} {t} > {SENTINEL_FACTOR}x quiet min {qmin}"
+            )
+    if reasons:
+        return {"contended": True, "contended_reasons": reasons}
+    return {"contended": False}
+
+
+def quiet_sentinel_mins(sf_dir: str, selected: bool) -> dict[str, float]:
+    """Sentinel monotone mins from BENCH_QUIET.json — default-sf
+    full-catalog runs only (the quiet record is sf0.1-specific, and a
+    subset run's JVM warmup profile differs)."""
+    if selected or sf_dir != "/root/testdata/sf0.1":
+        return {}
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET.json"
+    )
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return {
+            n: rec[n]["min"] for n in SENTINELS
+            if n in rec and rec[n].get("min")
+        }
+    except (OSError, ValueError, KeyError, TypeError):
+        return {}
 
 
 def main() -> None:
@@ -135,13 +196,17 @@ def main() -> None:
             # caller-owned by contract)
             release_indexes()
 
+    host = host_window(stat0, _proc_stat())
     out = {
         "metric": "catalog_total_wall",
         "value": None if errors else round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf_from_dir(SF_DIR),
-        **host_window(stat0, _proc_stat()),
+        **host,
+        **contention(
+            host, times, quiet_sentinel_mins(SF_DIR, bool(selected))
+        ),
     }
     if errors:
         out["n_failed"] = len(errors)

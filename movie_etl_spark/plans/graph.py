@@ -60,9 +60,13 @@ def _session_heap_bytes(df: DataFrame) -> int:
     builds live in executors (executor.memory)."""
     try:
         sc = df.sparkSession.sparkContext
+        # true local mode only: 'local', 'local[N]', 'local[N,F]'.
+        # 'local-cluster[...]' runs SEPARATE executor JVMs sized by
+        # executor.memory, so it must fall through (ADVICE r15)
+        master = sc.master
         key = (
             "spark.driver.memory"
-            if sc.master.startswith("local")
+            if master == "local" or master.startswith("local[")
             else "spark.executor.memory"
         )
         return int(sc._jsc.sc().conf().getSizeAsBytes(key, "1g"))

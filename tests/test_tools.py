@@ -254,17 +254,57 @@ def test_bench_host_window_steal_and_busy_attribution():
     crash mid-bench)."""
     import bench
 
-    # user nice system idle iowait irq softirq steal
-    before = [100, 0, 50, 800, 20, 0, 0, 30]
-    after = [300, 0, 100, 1200, 40, 0, 0, 60]
+    # user nice system idle iowait irq softirq steal guest guest_nice:
+    # guest fields are folded into user/nice by the kernel, so they are
+    # EXCLUDED from the total (ADVICE r15 — else nested-guest hosts
+    # deflate every percentage); busy excludes steal (time the host ran
+    # someone else is not this guest's work)
+    before = [100, 0, 50, 800, 20, 0, 0, 30, 500, 0]
+    after = [300, 0, 100, 1200, 40, 0, 0, 60, 900, 0]
     w = bench.host_window(before, after)
-    # deltas [200,0,50,400,20,0,0,30]: total=700, idle+iowait=420, steal=30
+    # deltas [200,0,50,400,20,0,0,30]: total=700 (first 8 fields only),
+    # idle+iowait=420, steal=30, busy=700-420-30=250
     assert w == {"steal_pct": round(100 * 30 / 700, 2),
-                 "busy_pct": round(100 * 280 / 700, 2)}
+                 "busy_pct": round(100 * 250 / 700, 2)}
     assert bench.host_window(None, after) == {}
     assert bench.host_window(before, None) == {}
     # live sample parses
     assert bench._proc_stat() is None or len(bench._proc_stat()) >= 8
+
+
+def test_bench_contention_stamp():
+    """VERDICT r15 item #5: the official artifact must carry its own
+    contended/quiet adjudication — >=1% steal or a pure-scan sentinel
+    >2x its quiet min stamps contended:true with named reasons."""
+    import bench
+
+    quiet = {"s1_discover": 0.70, "o1_top_k": 0.20}
+    # quiet host, sentinels at their mins -> not contended
+    out = bench.contention(
+        {"steal_pct": 0.15}, {"s1_discover": 0.75, "o1_top_k": 0.21}, quiet
+    )
+    assert out == {"contended": False}
+    # the r15 shape: 5.46% steal AND s1 at 6.35x its min
+    out = bench.contention(
+        {"steal_pct": 5.46}, {"s1_discover": 4.47, "o1_top_k": 0.21}, quiet
+    )
+    assert out["contended"] is True
+    assert any("steal_pct 5.46" in r for r in out["contended_reasons"])
+    assert any("s1_discover" in r for r in out["contended_reasons"])
+    # sentinel inflation alone (steal probe missed the burst) still trips
+    out = bench.contention({}, {"o1_top_k": 0.55}, quiet)
+    assert out["contended"] is True
+    # missing host sample + no quiet record -> explicit quiet verdict
+    assert bench.contention({}, {"s1_discover": 9.9}, {}) == {
+        "contended": False
+    }
+    # sentinel-min loader: subset and off-default-sf runs get no mins
+    assert bench.quiet_sentinel_mins("/tmp/sf3", False) == {}
+    assert bench.quiet_sentinel_mins("/root/testdata/sf0.1", True) == {}
+    mins = bench.quiet_sentinel_mins("/root/testdata/sf0.1", False)
+    assert set(mins) <= set(bench.SENTINELS) and all(
+        v > 0 for v in mins.values()
+    )
 
 
 def test_close_run_timeout_is_a_fail_row_not_a_crash():
@@ -305,3 +345,27 @@ def test_ledger_commit_artifacts_in_scratch_repo(tmp_path):
     # second invocation: clean no-op, no second commit
     assert commit_artifacts(repo) == 0
     assert run("git", "log", "--oneline").stdout == log
+
+
+def test_stageprobe_wall_null_is_visible_and_sorts_last():
+    """ADVICE r15: an unparseable REST timestamp must surface as
+    wall_s=None (visible null in the table), never a silent 0.0, and
+    --by=time sorting must not crash on the None."""
+    from stageprobe import _stage_wall_s
+
+    good = {
+        "firstTaskLaunchedTime": "2026-08-16T10:00:00.000GMT",
+        "completionTime": "2026-08-16T10:00:02.500GMT",
+    }
+    assert _stage_wall_s(good) == 2.5
+    # format drift -> None, not 0.0
+    assert _stage_wall_s({"firstTaskLaunchedTime": "16/08/2026",
+                          "completionTime": "16/08/2026"}) is None
+    assert _stage_wall_s({}) is None
+    # the sort key used by stage_table: None sorts below every real wall
+    rows = [{"wall_s": None}, {"wall_s": 0.1}, {"wall_s": 5.0}]
+    rows.sort(
+        key=lambda r: v if (v := r.get("wall_s")) is not None else -1.0,
+        reverse=True,
+    )
+    assert [r["wall_s"] for r in rows] == [5.0, 0.1, None]

@@ -41,8 +41,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MB = 1024 * 1024
 
 
-def _stage_wall_s(st: dict) -> float:
-    """Stage wall from the REST timestamps (submission -> completion)."""
+def _stage_wall_s(st: dict) -> float | None:
+    """Stage wall from the REST timestamps (first task launch ->
+    completion; launch, not submission, so queue wait is excluded).
+    A timestamp-format change in the REST payload returns None — kept
+    VISIBLE as ``wall_s: null`` in the table rather than a silent 0.0
+    that makes --by=time sorting meaningless (ADVICE r15)."""
     try:
         from datetime import datetime
 
@@ -51,7 +55,7 @@ def _stage_wall_s(st: dict) -> float:
         b = datetime.strptime(st["completionTime"], fmt)
         return round((b - a).total_seconds(), 2)
     except Exception:
-        return 0.0
+        return None
 
 
 def stage_table(spark, top_n: int = 8, by: str = "peak_exec_mb") -> list[dict]:
@@ -92,7 +96,11 @@ def stage_table(spark, top_n: int = 8, by: str = "peak_exec_mb") -> list[dict]:
                 "name": (st.get("name") or "").splitlines()[0][:80],
             }
         )
-    rows.sort(key=lambda r: r.get(by, 0), reverse=True)
+    # None (unparseable timestamp) sorts last but stays in the table
+    rows.sort(
+        key=lambda r: v if (v := r.get(by)) is not None else -1.0,
+        reverse=True,
+    )
     return rows[:top_n]
 
 
