@@ -36,7 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from movie_etl_spark.plans.catalog import QUERIES  # noqa: E402
 from movie_etl_spark.session import get_spark  # noqa: E402
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# normpath: a trailing slash in the env var must not defeat the
+# default-sf string comparisons in lossless_target/quiet_sentinel_mins
+SF_DIR = os.path.normpath(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+)
 
 
 def sf_from_dir(path: str) -> float:
