@@ -362,10 +362,9 @@ def test_stageprobe_wall_null_is_visible_and_sorts_last():
     assert _stage_wall_s({"firstTaskLaunchedTime": "16/08/2026",
                           "completionTime": "16/08/2026"}) is None
     assert _stage_wall_s({}) is None
-    # the sort key used by stage_table: None sorts below every real wall
+    # the REAL sort key stage_table uses: None sorts below every wall
+    from stageprobe import _sort_key
+
     rows = [{"wall_s": None}, {"wall_s": 0.1}, {"wall_s": 5.0}]
-    rows.sort(
-        key=lambda r: v if (v := r.get("wall_s")) is not None else -1.0,
-        reverse=True,
-    )
+    rows.sort(key=_sort_key("wall_s"), reverse=True)
     assert [r["wall_s"] for r in rows] == [5.0, 0.1, None]

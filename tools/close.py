@@ -99,8 +99,11 @@ def step_pytest() -> tuple[str, str]:
     # close runs property tests at 10x example budget, derandomized
     # (tests/conftest.py reads this env var — VERDICT r15 #4: the r15
     # close read green while a falsifying jpeg example sat undrawn)
+    # the 10x profile runs the suite in ~1000-1200 s on this host; the
+    # documented ~3x slow-host generations need the selfcheck-sized cap
     rc, text = _run(
         [sys.executable, "-m", "pytest", "tests/", "-q"],
+        timeout=7200,
         env={"SPARK_GRAFT_HYP_PROFILE": "close"},
     )
     tail = [l for l in text.splitlines() if "passed" in l or "failed" in l]

@@ -96,12 +96,14 @@ def stage_table(spark, top_n: int = 8, by: str = "peak_exec_mb") -> list[dict]:
                 "name": (st.get("name") or "").splitlines()[0][:80],
             }
         )
-    # None (unparseable timestamp) sorts last but stays in the table
-    rows.sort(
-        key=lambda r: v if (v := r.get(by)) is not None else -1.0,
-        reverse=True,
-    )
+    rows.sort(key=_sort_key(by), reverse=True)
     return rows[:top_n]
+
+
+def _sort_key(by: str):
+    """Sort key for stage rows: None (unparseable timestamp) sorts
+    last but stays visible in the table."""
+    return lambda r: v if (v := r.get(by)) is not None else -1.0
 
 
 def main() -> int:
