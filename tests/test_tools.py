@@ -368,3 +368,21 @@ def test_stageprobe_wall_null_is_visible_and_sorts_last():
     rows = [{"wall_s": None}, {"wall_s": 0.1}, {"wall_s": 5.0}]
     rows.sort(key=_sort_key("wall_s"), reverse=True)
     assert [r["wall_s"] for r in rows] == [5.0, 0.1, None]
+
+
+def test_quietbench_until_quiet_predicate():
+    """r16: --until-quiet runs the N base runs unconditionally, then
+    keeps hunting until a run self-reports contended:false or CAP."""
+    from quietbench import _should_run
+
+    # plain mode: exactly n runs regardless of quietness
+    assert _should_run(0, 2, False, 8, False)
+    assert _should_run(1, 2, False, 8, False)
+    assert not _should_run(2, 2, False, 8, False)
+    assert not _should_run(2, 2, False, 8, True)
+    # until-quiet: base runs always happen, even if run 0 was quiet
+    assert _should_run(1, 2, True, 8, True)
+    # past n: continue only while no quiet run yet and under cap
+    assert _should_run(2, 2, True, 8, False)
+    assert not _should_run(2, 2, True, 8, True)
+    assert not _should_run(8, 2, True, 8, False)

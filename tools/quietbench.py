@@ -6,7 +6,14 @@ CPU contention (scans flat, parallel stages inflated, up to 2.3× swings
 between IDENTICAL runs — BASELINE.md r4/r6/r7 records) from genuine
 plan regressions. This pins the discriminator as a tool:
 
-  python tools/quietbench.py [N] [query ...]
+  python tools/quietbench.py [N] [--until-quiet[=CAP]] [query ...]
+
+``--until-quiet`` (r16, VERDICT r15 item #5 optional): after the N base
+runs, keep re-running until one run self-reports ``contended: false``
+(bench.py's in-file steal/sentinel adjudication) or CAP total runs
+(default 8). Institutionalizes the manual steal-window hunt: on a
+bursty host the close pair gets a quiet reading whenever one exists
+within the cap, and every extra run still feeds the monotone mins.
 
 - runs ``bench.py`` N times (default 2) in fresh subprocesses
   (fresh JVM each run — min-of-N therefore still contains one-time JIT
@@ -33,12 +40,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SENTINELS = ("s1_discover", "r1_explode_tokens", "o1_top_k")
 
 
+def _should_run(i: int, n: int, until_quiet: bool, cap: int,
+                quiet_seen: bool) -> bool:
+    """Loop predicate: always the N base runs; with --until-quiet, keep
+    going until a run self-reports contended:false or CAP total runs."""
+    if i < n:
+        return True
+    return until_quiet and not quiet_seen and i < cap
+
+
 def main() -> int:
     args = sys.argv[1:]
     n = 2
     if args and args[0].isdigit():
         n = int(args[0])
         args = args[1:]
+    until_quiet, cap = False, 8
+    for a in list(args):
+        if a.startswith("--until-quiet"):
+            until_quiet = True
+            if "=" in a:
+                cap = int(a.split("=", 1)[1])
+            args.remove(a)
     queries = list(args)
     # sentinels ride along on targeted runs so every protocol record
     # carries its own host-noise measurement
@@ -51,7 +74,9 @@ def main() -> int:
     )
     record_path = os.path.join(REPO, "BENCH_QUIET.json")
     completed = 0
-    for i in range(n):
+    quiet_seen = False
+    i = -1
+    while _should_run((i := i + 1), n, until_quiet, cap, quiet_seen):
         # a committed BENCH_* file from an earlier session would be
         # silently re-read as this run's timings if bench.py crashes —
         # move it aside (NOT unlink: r9 ADVICE — a crash on the first
@@ -98,14 +123,20 @@ def main() -> int:
         # merge): a timeout or crash in run k must not discard runs 0..k-1
         _merge_run(record_path, full)
         completed += 1
+        if data.get("contended") is False:
+            quiet_seen = True
         host = "".join(
-            f" {k}={data[k]}" for k in ("steal_pct", "busy_pct") if k in data
+            f" {k}={data[k]}" for k in ("steal_pct", "busy_pct", "contended")
+            if k in data
         )
         print(f"run {i}: total={data.get('value')}s over {len(full)} "
               f"queries{host}")
 
     if not completed:
         return 1
+    if until_quiet:
+        print("quiet run:", "achieved" if quiet_seen
+              else f"NOT achieved within {completed} runs (cap {cap})")
     with open(record_path) as f:
         record = json.load(f)
     spread = {s: record[s]["runs"] for s in SENTINELS if s in record}
