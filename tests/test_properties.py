@@ -231,3 +231,80 @@ def test_remove_boilerplate_matches_bruteforce(spark, docs, min_docs):
         kept = [ln for ln in lines if ln not in bp]
         expect = (len(kept), len(lines) - len(kept), "\n".join(kept))
         assert got[i] == expect
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # key
+        st.integers(min_value=0, max_value=9),          # value
+        st.sampled_from([True, False, None]),           # tombstone flag
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(events=_events)
+@_settings
+def test_apply_changelog_matches_replay(spark, events):
+    """apply_changelog == single-threaded changelog replay: latest
+    event per key wins; a newest-event tombstone removes the key
+    (NULL flag = upsert, the Debezium convention); resurrections
+    survive. The event index is the total order (seq tiebreaker is
+    the caller contract)."""
+    from movie_etl_spark.operators.upsert import apply_changelog
+
+    rows = [(k, i, v, d) for i, (k, v, d) in enumerate(events)]
+    log = spark.createDataFrame(
+        rows, "k int, seq int, v int, _is_delete boolean"
+    )
+    got = {
+        r.k: (r.seq, r.v)
+        for r in apply_changelog(log, ["k"], ["seq"]).collect()
+    }
+    final: dict[int, tuple[int, int, bool]] = {}
+    for k, seq, v, d in rows:  # seq == replay order by construction
+        final[k] = (seq, v, bool(d))
+    expect = {
+        k: (seq, v) for k, (seq, v, dead) in final.items() if not dead
+    }
+    assert got == expect
+
+
+_token_texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(
+    texts=_token_texts,
+    k=st.integers(min_value=1, max_value=6),
+    capacity=st.sampled_from([2, 4, 4096]),
+)
+@_settings
+def test_heavy_hitters_exact_topk(spark, texts, k, capacity):
+    """heavy_hitters is EXACT top-k under both plans: the Misra-Gries
+    prune when its guarantee holds, the full groupBy fallback when it
+    does not (tiny capacities force the boundary both ways). Ties are
+    deterministic: cnt DESC, tok ASC."""
+    from collections import Counter
+
+    from movie_etl_spark.operators.frequency import heavy_hitters
+    from movie_etl_spark.session import release_caches
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    try:
+        got = [(r.tok, r.cnt) for r in heavy_hitters(
+            df, "text", k=k, capacity=capacity
+        ).collect()]
+    finally:
+        release_caches()
+    counts = Counter(tok for t in texts for tok in t.split())
+    expect = sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert got == [(t, c) for t, c in expect]
