@@ -153,7 +153,7 @@ def quiet_sentinel_mins(sf_dir: str, selected: bool) -> dict[str, float]:
     """Sentinel monotone mins from BENCH_QUIET.json — default-sf
     full-catalog runs only (the quiet record is sf0.1-specific, and a
     subset run's JVM warmup profile differs)."""
-    if selected or sf_dir != "/root/testdata/sf0.1":
+    if selected or sf_dir != DEFAULT_SF_DIR:
         return {}
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET.json"

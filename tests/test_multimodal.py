@@ -318,11 +318,13 @@ def test_extract_features_try_real_prefers_pixels(spark):
 
 # ---- property-based round-trips (hypothesis) --------------------------
 
+# outside the hypothesis guard (ADVICE r16): a conftest import failure
+# must surface as a collection error, not silently skip every property
+from conftest import hyp_examples
+
 try:
     from hypothesis import example, given, settings
     from hypothesis import strategies as st
-
-    from conftest import hyp_examples
 
     HAVE_HYPOTHESIS = True
 except ImportError:  # pragma: no cover
@@ -672,7 +674,8 @@ if HAVE_HYPOTHESIS:
         The bound is size/quality-aware: an image smaller than one 8x8
         DCT block concentrates its full contrast range into a corner of
         the edge-padded block, so at q50 the quantizer legitimately errs
-        harder on the cropped pixels (measured worst case 32.25)."""
+        harder on the cropped pixels (measured worst case 32.25; bound
+        36 keeps the regression headroom small — ADVICE r16)."""
         import numpy as np
 
         from movie_etl_spark.operators.jpeg import decode_jpeg, encode_jpeg
@@ -681,7 +684,7 @@ if HAVE_HYPOTHESIS:
         out = decode_jpeg(encode_jpeg(img, quality=quality))
         assert out.shape == (h, w, 1)
         err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
-        bound = 48 if (w < 8 or h < 8) and quality <= 50 else 32
+        bound = 36 if (w < 8 or h < 8) and quality <= 50 else 32
         assert err.mean() <= bound
 
 

@@ -386,3 +386,46 @@ def test_quietbench_until_quiet_predicate():
     assert _should_run(2, 2, True, 8, False)
     assert not _should_run(2, 2, True, 8, True)
     assert not _should_run(8, 2, True, 8, False)
+
+
+def test_quietbench_sf_suffix():
+    """r17: the sf1 quiet hunt writes per-scale records — sf1 protocol
+    mins must never merge into the sf0.1 BENCH_QUIET.json (a 10x-data
+    min would poison the >2x suspect scan in both directions)."""
+    from quietbench import _sf_suffix
+
+    assert _sf_suffix("/root/testdata/sf0.1") == ""
+    assert _sf_suffix("/root/testdata/sf1") == "_SF1.0"
+    assert _sf_suffix("/root/testdata/sf3") == "_SF3.0"
+    assert _sf_suffix("/somewhere/else") == "_SFALT"
+
+
+def test_quietbench_cap_validation(monkeypatch, capsys):
+    """ADVICE r16: an empty/garbage --until-quiet=CAP must exit 2 with a
+    message, not raise an uncaught ValueError; and CAP is a bound on
+    TOTAL runs, so n > cap clamps n down (base runs count toward it)."""
+    import quietbench
+
+    for bad in ("--until-quiet=", "--until-quiet=x", "--until-quiet=0",
+                "--until-quiet=-3"):
+        monkeypatch.setattr(sys, "argv", ["quietbench", bad])
+        assert quietbench.main() == 2
+        assert "invalid --until-quiet cap" in capsys.readouterr().err
+    # n=10 with cap=1: the clamp means exactly one total run; stub the
+    # subprocess layer so no real bench fires
+    calls = []
+    monkeypatch.setattr(sys, "argv", ["quietbench", "10", "--until-quiet=1"])
+    monkeypatch.setattr(quietbench, "_set_aside", lambda p: None)
+    monkeypatch.setattr(quietbench, "_restore", lambda p, b: None)
+
+    class _Out:
+        returncode = 1
+        stdout = ""
+        stderr = "stubbed"
+
+    monkeypatch.setattr(
+        quietbench.subprocess, "run",
+        lambda *a, **k: calls.append(1) or _Out(),
+    )
+    quietbench.main()
+    assert len(calls) == 1

@@ -33,11 +33,32 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SENTINELS = ("s1_discover", "r1_explode_tokens", "o1_top_k")
+
+#: mirror of bench.py's spelling (r17: the sf1 quiet hunt — VERDICT r16
+#: item #2). quietbench honors $SPARK_GRAFT_SF_DIR exactly like the
+#: bench subprocess it drives: at a non-default sf the lossless record
+#: is BENCH_SF{X}.json and the protocol mins accumulate in a PER-SCALE
+#: BENCH_QUIET_SF{X}.json — sf1 runs must never feed the sf0.1 monotone
+#: mins (a 10x-data min would make every sf0.1 suspect scan vacuous,
+#: and vice versa every sf1 cell would read as a >2x suspect).
+#: bench.py's contended stamp at non-default sf is steal-only by design
+#: (sentinel mins are sf0.1-specific), so --until-quiet needs no change.
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = os.path.normpath(os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
+
+
+def _sf_suffix(sf_dir: str) -> str:
+    """'' at the default scale, '_SF{X}' otherwise (bench.py's rule)."""
+    if sf_dir == DEFAULT_SF_DIR:
+        return ""
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return f"_SF{float(m.group(1))}" if m else "_SFALT"
 
 
 def _should_run(i: int, n: int, until_quiet: bool, cap: int,
@@ -60,19 +81,32 @@ def main() -> int:
         if a.startswith("--until-quiet"):
             until_quiet = True
             if "=" in a:
-                cap = int(a.split("=", 1)[1])
+                raw = a.split("=", 1)[1]
+                if not raw.isdigit() or int(raw) < 1:
+                    print(f"quietbench: invalid --until-quiet cap {raw!r} "
+                          "(want a positive integer)", file=sys.stderr)
+                    return 2
+                cap = int(raw)
             args.remove(a)
+    # the documented bound is "CAP total runs": the N base runs count
+    # toward it, so a cap below N clamps N down rather than overrunning
+    if until_quiet and n > cap:
+        n = cap
     queries = list(args)
     # sentinels ride along on targeted runs so every protocol record
     # carries its own host-noise measurement
     run_set = queries + [s for s in SENTINELS if queries and s not in queries]
 
     # full-name lossless dict: bench.py writes it to BENCH_SUBSET.json
-    # for targeted runs, BENCH_LOCAL.json for full-catalog runs
+    # for targeted runs, BENCH_LOCAL.json for default-sf full-catalog
+    # runs, BENCH_SF{X}.json for alternate-scale full-catalog runs
+    suffix = _sf_suffix(SF_DIR)
     lossless = os.path.join(
-        REPO, "BENCH_SUBSET.json" if run_set else "BENCH_LOCAL.json"
+        REPO,
+        "BENCH_SUBSET.json" if run_set
+        else f"BENCH{suffix or '_LOCAL'}.json",
     )
-    record_path = os.path.join(REPO, "BENCH_QUIET.json")
+    record_path = os.path.join(REPO, f"BENCH_QUIET{suffix}.json")
     completed = 0
     quiet_seen = False
     i = -1
