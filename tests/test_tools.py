@@ -400,6 +400,26 @@ def test_quietbench_sf_suffix():
     assert _sf_suffix("/somewhere/else") == "_SFALT"
 
 
+def test_quietbench_lossless_names_track_bench():
+    """quietbench re-derives bench.py's lossless filename in a second
+    spelling (the ADVICE r16 desync class): pin the two rules to each
+    other so a bench.py rename surfaces here instead of quietbench
+    silently reporting 'no BENCH_*.json' after every alternate-sf run."""
+    import bench
+    from quietbench import DEFAULT_SF_DIR, _sf_suffix
+
+    assert DEFAULT_SF_DIR == bench.DEFAULT_SF_DIR
+    for sf_dir in (bench.DEFAULT_SF_DIR, "/tmp/sf1", "/tmp/sf3",
+                   "/tmp/sf10"):
+        derived = f"BENCH{_sf_suffix(sf_dir) or '_LOCAL'}.json"
+        assert derived == bench.lossless_target(
+            selected=False, sf_dir=sf_dir, failed=False
+        )
+    # targeted runs own BENCH_SUBSET.json at every scale in both rules
+    assert bench.lossless_target(True, "/tmp/sf1", False) == \
+        "BENCH_SUBSET.json"
+
+
 def test_quietbench_cap_validation(monkeypatch, capsys):
     """ADVICE r16: an empty/garbage --until-quiet=CAP must exit 2 with a
     message, not raise an uncaught ValueError; and CAP is a bound on
