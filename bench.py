@@ -46,8 +46,16 @@ SF_DIR = os.path.normpath(os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
 
 
 def sf_from_dir(path: str) -> float:
-    m = re.search(r"sf([0-9.]+)", path)
-    return float(m.group(1)) if m else -1.0
+    # leading digit required (ADVICE r17: 'sf.cache' used to match a
+    # bare '.' and crash float() at import); a dotted dir name like
+    # 'sf1.2.3' is likewise not a scale — fall back to the no-match -1.0
+    m = re.search(r"sf(\d[\d.]*)", path)
+    if not m:
+        return -1.0
+    try:
+        return float(m.group(1))
+    except ValueError:
+        return -1.0
 
 
 def lossless_target(selected: bool, sf_dir: str, failed: bool) -> str:

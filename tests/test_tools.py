@@ -397,7 +397,23 @@ def test_quietbench_sf_suffix():
     assert _sf_suffix("/root/testdata/sf0.1") == ""
     assert _sf_suffix("/root/testdata/sf1") == "_SF1.0"
     assert _sf_suffix("/root/testdata/sf3") == "_SF3.0"
-    assert _sf_suffix("/somewhere/else") == "_SFALT"
+    # ADVICE r17: a no-match dir follows bench's -1.0 spelling (the old
+    # '_SFALT' fallback desynced from bench's lossless name and made
+    # quietbench discard a completed run)
+    assert _sf_suffix("/somewhere/else") == "_SF-1.0"
+
+
+def test_sf_from_dir_requires_leading_digit():
+    """ADVICE r17: 'sf' followed by a bare '.' (e.g. /data/sf.cache)
+    used to match and crash float('.') at import time in BOTH bench and
+    quietbench; a dotted name like sf1.2.3 is likewise not a scale."""
+    import bench
+
+    assert bench.sf_from_dir("/data/sf.cache") == -1.0
+    assert bench.sf_from_dir("/data/sf1.2.3") == -1.0
+    assert bench.sf_from_dir("/no/match/at/all") == -1.0
+    assert bench.sf_from_dir("/root/testdata/sf0.01") == 0.01
+    assert bench.sf_from_dir("/root/testdata/sf10") == 10.0
 
 
 def test_quietbench_lossless_names_track_bench():
@@ -409,8 +425,11 @@ def test_quietbench_lossless_names_track_bench():
     from quietbench import DEFAULT_SF_DIR, _sf_suffix
 
     assert DEFAULT_SF_DIR == bench.DEFAULT_SF_DIR
+    # includes the no-match ('/mnt/bigdata') and bare-dot ('sf.cache')
+    # paths — the exact desync/crash classes from ADVICE r17
     for sf_dir in (bench.DEFAULT_SF_DIR, "/tmp/sf1", "/tmp/sf3",
-                   "/tmp/sf10"):
+                   "/tmp/sf10", "/mnt/bigdata", "/data/sf.cache",
+                   "/data/sf1.2.3"):
         derived = f"BENCH{_sf_suffix(sf_dir) or '_LOCAL'}.json"
         assert derived == bench.lossless_target(
             selected=False, sf_dir=sf_dir, failed=False

@@ -33,32 +33,40 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+import bench as _bench  # noqa: E402
+
 SENTINELS = ("s1_discover", "r1_explode_tokens", "o1_top_k")
 
-#: mirror of bench.py's spelling (r17: the sf1 quiet hunt — VERDICT r16
-#: item #2). quietbench honors $SPARK_GRAFT_SF_DIR exactly like the
-#: bench subprocess it drives: at a non-default sf the lossless record
-#: is BENCH_SF{X}.json and the protocol mins accumulate in a PER-SCALE
+#: bench.py's spelling, imported rather than mirrored (ADVICE r17: the
+#: old local re-derivation fell back to '_SFALT' for a dir without an
+#: 'sf<num>' segment where bench spells '-1.0' — quietbench would then
+#: finish a full run and discard it on 'no BENCH_SFALT.json').
+#: quietbench honors $SPARK_GRAFT_SF_DIR exactly like the bench
+#: subprocess it drives: at a non-default sf the lossless record is
+#: BENCH_SF{X}.json and the protocol mins accumulate in a PER-SCALE
 #: BENCH_QUIET_SF{X}.json — sf1 runs must never feed the sf0.1 monotone
 #: mins (a 10x-data min would make every sf0.1 suspect scan vacuous,
 #: and vice versa every sf1 cell would read as a >2x suspect).
 #: bench.py's contended stamp at non-default sf is steal-only by design
 #: (sentinel mins are sf0.1-specific), so --until-quiet needs no change.
-DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+DEFAULT_SF_DIR = _bench.DEFAULT_SF_DIR
 SF_DIR = os.path.normpath(os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
 
 
 def _sf_suffix(sf_dir: str) -> str:
-    """'' at the default scale, '_SF{X}' otherwise (bench.py's rule)."""
+    """'' at the default scale, '_SF{X}' otherwise — X spelled by
+    bench.sf_from_dir so the per-scale quiet record can never desync
+    from the lossless name bench writes (no-match dirs get '_SF-1.0',
+    matching bench's 'BENCH_SF-1.0.json')."""
     if sf_dir == DEFAULT_SF_DIR:
         return ""
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return f"_SF{float(m.group(1))}" if m else "_SFALT"
+    return f"_SF{_bench.sf_from_dir(sf_dir)}"
 
 
 def _should_run(i: int, n: int, until_quiet: bool, cap: int,
@@ -97,14 +105,13 @@ def main() -> int:
     # carries its own host-noise measurement
     run_set = queries + [s for s in SENTINELS if queries and s not in queries]
 
-    # full-name lossless dict: bench.py writes it to BENCH_SUBSET.json
-    # for targeted runs, BENCH_LOCAL.json for default-sf full-catalog
-    # runs, BENCH_SF{X}.json for alternate-scale full-catalog runs
+    # full-name lossless dict: BENCH_SUBSET.json for targeted runs,
+    # BENCH_LOCAL.json for default-sf full-catalog runs, BENCH_SF{X}.json
+    # for alternate scales — asked of bench itself (ADVICE r17) so the
+    # watched filename is definitionally the one the subprocess writes
     suffix = _sf_suffix(SF_DIR)
     lossless = os.path.join(
-        REPO,
-        "BENCH_SUBSET.json" if run_set
-        else f"BENCH{suffix or '_LOCAL'}.json",
+        REPO, _bench.lossless_target(bool(run_set), SF_DIR, False)
     )
     record_path = os.path.join(REPO, f"BENCH_QUIET{suffix}.json")
     completed = 0
