@@ -17,17 +17,24 @@ assignment and every centroid is bit-stable across engines,
 partitionings, and retries, and an unrolled recursive-SQL oracle
 hash-matches exactly.
 
-Scale shape per iteration (the BSP contract of pagerank/bfs):
+Scale shape per iteration:
 
-- centroids live in ONE aggregated row (k * dim ints), broadcast to a
-  crossJoin — never a driver collect;
-- assignment is a pure array expression (``aggregate`` over the
-  zipped centroid list) inside whole-stage codegen — corpus x k
-  distance evals, linear, no shuffle;
+- centroids are METADATA-sized (k * dim ints; 512 for the catalog's
+  8x64) and live on the driver between iterations — the bounded-
+  collect trade dup_clusters and corpus._two_phase_prefix already
+  adjudicated (a k-row collect per iteration beats replaying the
+  whole previous iteration inside a nested broadcast subtree, which
+  is what the r17-era DataFrame-chained centroids did: ~2x plan
+  growth per iteration and a chain of sequential broadcast-build
+  jobs);
+- assignment is a pure constant-folded array expression
+  (``aggregate`` over the centroid literal) inside whole-stage
+  codegen — corpus x k distance evals, linear, no shuffle, and the
+  corpus itself never leaves the executors;
 - the centroid update is ONE groupBy(cid) with ``dim`` columnar sums
-  (map-side partials) — the only shuffle, k rows out;
-- empty clusters keep their previous centroid (left-join rule), so k
-  never silently shrinks.
+  (map-side partials) — the only shuffle, k rows out, collected;
+- empty clusters keep their previous centroid (driver-side rule), so
+  k never silently shrinks.
 """
 
 from __future__ import annotations
@@ -73,66 +80,86 @@ def kmeans_fixed_point(
     )
     if dim is None:
         dim = len(vx.select("_x").limit(1).collect()[0][0])
-    seeds = (
+
+    # Driver-held centroids (r18 rework). Centroids are metadata-sized
+    # (k x dim ints — 512 for the catalog's 8x64) and every iteration
+    # CONSUMES the previous iteration's centroids twice (assignment +
+    # empty-cluster fallback), so keeping them as DataFrames chained the
+    # plan: iteration i's broadcast subtree replayed iteration i-1's
+    # whole assignment (seeds window, one_row sort, nested broadcast
+    # builds — ~2x plan growth per iteration, a chain of sequential
+    # broadcast-build jobs at action time). Holding them on the driver
+    # is the bounded-collect trade dup_clusters/_two_phase_prefix
+    # already adjudicated: per iteration exactly ONE distributed job
+    # (cached-corpus scan + k-row groupBy -> k-row collect), the corpus
+    # never leaves the executors, and the assignment becomes a pure
+    # constant-folded codegen expression. Identical integer arithmetic,
+    # identical tie-breaks -> bit-identical assignments.
+    seed_rows = (
         vx.select(
             "_id", "_x", F.md5(F.col("_id").cast("string")).alias("_h")
         )
         .orderBy("_h", "_id")
         .limit(k)
+        .collect()
     )
-    from pyspark.sql import Window
+    cents: list[list[int]] = [list(r["_x"]) for r in seed_rows]
 
-    # k rows: the window sort is over a k-sized frame, not the corpus
-    cents = seeds.select(
-        (
-            F.row_number().over(Window.orderBy("_h", "_id")) - 1
-        ).alias("cid"),
-        F.col("_x").alias("cvec"),
-    )
-
-    def one_row(c: DataFrame) -> DataFrame:
-        """centroids -> a single broadcastable row holding the sorted
-        struct list (sorted by cid, so the strict-less argmin tie-break
-        lands on the smaller cid)."""
-        return c.agg(
-            F.sort_array(
-                F.collect_list(F.struct("cid", "cvec"))
-            ).alias("_cents")
+    def cents_lit() -> F.Column:
+        """sorted-by-cid struct array literal as ONE parsed SQL
+        expression: k*dim Column-builder calls (8x64 = 512 F.lit py4j
+        round trips) cost 2-3 s of pure driver time PER ITERATION
+        (measured r18); one expr() string is a single round trip and
+        one parse. Sorted by cid, so the strict-less argmin tie-break
+        lands on the smaller cid."""
+        if not cents:  # empty corpus: typed empty array, not array<void>
+            return F.array().cast(
+                "array<struct<cid:int,cvec:array<bigint>>>"
+            )
+        structs = ", ".join(
+            f"named_struct('cid', {cid}, 'cvec', array("
+            + ", ".join(f"{int(v)}L" for v in vec)
+            + "))"
+            for cid, vec in enumerate(cents)
         )
+        return F.expr(f"array({structs})")
 
+    # precompute each centroid's distance ONCE via transform, then fold
+    # for the argmin: the former CASE-dist-twice shape evaluated the
+    # 64-dim zip_with aggregate 2x per centroid per row. Tie-break
+    # unchanged: strict less keeps the earlier (smaller-cid) struct.
     assign_expr = (
-        "aggregate(_cents, "
-        "struct(CAST(-1 AS INT) AS cid, CAST(9223372036854775807 AS BIGINT) AS dist), "
-        "(acc, c) -> CASE WHEN " + _dist_expr("_x", "c.cvec")
-        + " < acc.dist THEN struct(c.cid AS cid, "
+        "aggregate(transform(_cents, c -> struct(c.cid AS cid, "
         + _dist_expr("_x", "c.cvec")
-        + " AS dist) ELSE acc END).cid"
+        + " AS dist)), "
+        "struct(CAST(-1 AS INT) AS cid, CAST(9223372036854775807 AS BIGINT) AS dist), "
+        "(acc, c) -> CASE WHEN c.dist < acc.dist THEN c ELSE acc END"
+        ").cid"
     )
 
-    def assign(c: DataFrame) -> DataFrame:
-        return vx.crossJoin(F.broadcast(one_row(c))).select(
+    def assign() -> DataFrame:
+        return vx.withColumn("_cents", cents_lit()).select(
             "_id", "_x", F.expr(assign_expr).alias("cid")
         )
 
     for _ in range(iterations):
-        assigned = assign(cents)
-        sums = assigned.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(F.element_at("_x", d + 1)).alias(f"_s{d}")
-                for d in range(dim)
-            ],
+        sums = (
+            assign()
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("_x", d + 1)).alias(f"_s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()  # k rows of dim sums — bounded
         )
-        moved = sums.select(
-            "cid",
-            F.array(
-                *[F.expr(f"_s{d} div _n") for d in range(dim)]
-            ).alias("mvec"),
-        )
-        # empty clusters keep their previous centroid
-        cents = cents.join(moved, "cid", "left").select(
-            "cid", F.coalesce("mvec", "cvec").alias("cvec")
-        )
-    return assign(cents).select(
+        # elementwise sum div count; empty clusters keep their centroid
+        for r in sums:
+            cents[r["cid"]] = [
+                r[f"_s{d}"] // r["_n"] for d in range(dim)
+            ]
+    return assign().select(
         F.col("_id").alias(id_col), F.col("cid").alias("cluster_id")
     )

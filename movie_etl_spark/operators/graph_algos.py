@@ -104,8 +104,58 @@ def pagerank_fixed_point(
     edges_deg = cache_tracked(
         edges.join(deg, "src"), storage_level=StorageLevel.DISK_ONLY
     )
-    ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
     base = (scale * (damp_den - damp_num)) // damp_den
+    if redistribute_dangling:
+        # Dangling-mass variant (r18 rework). The former shape re-joined
+        # ``ranks`` onto ``deg`` every iteration just to see out-degrees
+        # for the dangling sum, and referenced the rank frame TWICE per
+        # iteration (contribution join + dangling aggregate) with no
+        # lineage cut — so the logical plan doubled per iteration (gr2's
+        # formatted plan: 277 Exchange nodes for 3 iterations, vs gr1's
+        # 52; runtime exchange reuse deduped the execution but Catalyst
+        # still planned every copy). Now the node state carries
+        # ``(src, deg, rank)`` so the dangling aggregate is a plain
+        # aggregate over the state (one join per iteration REMOVED), and
+        # each iteration cuts lineage with a lazy localCheckpoint (the
+        # connected_components_star pattern) so every reference of the
+        # state is a leaf — plan growth is linear in iterations. All
+        # arithmetic is unchanged (same exact integer recurrence).
+        state = deg.select(
+            "src", "deg", F.lit(scale).cast("long").alias("rank")
+        )
+        for _ in range(iterations):
+            state = state.localCheckpoint(eager=False)
+            incoming = (
+                edges_deg.join(state.select("src", "rank"), "src")
+                .select("dst", F.expr("rank div deg").alias("contrib"))
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("inc"))
+            )
+            dang = state.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0)
+                ).cast("long").alias("dang_sum"),
+                F.count("*").alias("n_nodes"),
+            )
+            cur = state.select("src", "deg")
+            state = (
+                cur.join(incoming, cur.src == incoming.dst, "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    cur.src,
+                    "deg",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damp_num} * (coalesce(inc, 0)"
+                            f" + dang_sum div n_nodes)) div {damp_den}"
+                        )
+                    ).cast("long").alias("rank"),
+                )
+            )
+        return state.select(F.col("src").alias("node_id"), "rank")
+
+    ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
     for it in range(iterations):
         incoming = (
             edges_deg.join(ranks, "src")
@@ -114,31 +164,13 @@ def pagerank_fixed_point(
             .agg(F.sum("contrib").alias("inc"))
         )
         joined = deg.join(incoming, deg.src == incoming.dst, "left")
-        if redistribute_dangling:
-            dang = ranks.join(deg, "src").agg(
-                F.coalesce(
-                    F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0)
-                ).cast("long").alias("dang_sum"),
-                F.count("*").alias("n_nodes"),
-            )
-            ranks = joined.crossJoin(F.broadcast(dang)).select(
-                deg.src,
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damp_num} * (coalesce(inc, 0)"
-                        f" + dang_sum div n_nodes)) div {damp_den}"
-                    )
-                ).cast("long").alias("rank"),
-            )
-        else:
-            ranks = joined.select(
-                deg.src,
-                (
-                    F.lit(base)
-                    + F.expr(f"({damp_num} * coalesce(inc, 0)) div {damp_den}")
-                ).cast("long").alias("rank"),
-            )
+        ranks = joined.select(
+            deg.src,
+            (
+                F.lit(base)
+                + F.expr(f"({damp_num} * coalesce(inc, 0)) div {damp_den}")
+            ).cast("long").alias("rank"),
+        )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select(F.col("src").alias("node_id"), "rank")

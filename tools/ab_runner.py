@@ -1,0 +1,102 @@
+"""Interleaved same-window A/B over two checkouts (r18 protocol).
+
+On a capability-degraded host, absolute walls are unusable; the only
+valid comparison is old-vs-new alternated within one window (standing
+r15+ rule). This runner alternates subset bench passes A,B,A,B,...
+between two repo roots (each pass a fresh JVM via bench.py) and
+reports per-query min-of-N for each side.
+
+Usage::
+
+    python tools/ab_runner.py <old_root> <new_root> <rounds> <out_json> <query ...>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def run_pass(root: str, queries: list[str]) -> dict:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py"), *queries],
+        cwd=root,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = [
+        ln for ln in out.stdout.splitlines() if ln.startswith('{"metric"')
+    ]
+    if not line:
+        raise RuntimeError(
+            f"no bench line from {root}: {out.stdout[-500:]} {out.stderr[-2000:]}"
+        )
+    return json.loads(line[-1])
+
+
+def main() -> None:
+    old_root, new_root, rounds, out_path = (
+        sys.argv[1],
+        sys.argv[2],
+        int(sys.argv[3]),
+        sys.argv[4],
+    )
+    queries = sys.argv[5:]
+    record: dict = {"old_root": old_root, "new_root": new_root, "passes": []}
+    for i in range(rounds):
+        # alternate order each round: a steal burst that always lands on
+        # the same slot of the pair must not bias one side
+        order = (("old", old_root), ("new", new_root))
+        if i % 2:
+            order = order[::-1]
+        for side, root in order:
+            res = run_pass(root, queries)
+            record["passes"].append(
+                {
+                    "side": side,
+                    "i": i,
+                    "total": res.get("value"),
+                    "steal_pct": res.get("steal_pct"),
+                    "queries": res.get("queries"),
+                }
+            )
+            with open(out_path, "w") as f:
+                json.dump(record, f, indent=1)
+            print(
+                f"pass {i} {side}: total={res.get('value')} "
+                f"steal={res.get('steal_pct')}",
+                flush=True,
+            )
+    mins: dict = {}
+    for side in ("old", "new"):
+        qmins: dict = {}
+        for p in record["passes"]:
+            if p["side"] != side or not p["queries"]:
+                continue
+            for q, t in p["queries"].items():
+                qmins[q] = min(qmins.get(q, 1e9), t)
+        mins[side] = qmins
+    record["min_of_n"] = mins
+    if mins.get("old") and mins.get("new"):
+        rows = []
+        for q in mins["old"]:
+            o, n = mins["old"][q], mins["new"].get(q)
+            if n:
+                rows.append((q, o, n, n / o))
+        record["summary"] = [
+            {"query": q, "old_min": o, "new_min": n, "ratio": round(r, 3)}
+            for q, o, n, r in sorted(rows, key=lambda x: x[3])
+        ]
+        for q, o, n, r in rows:
+            print(f"{q}: old {o:.2f} new {n:.2f} ratio {r:.3f}")
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
