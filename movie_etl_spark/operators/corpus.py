@@ -134,10 +134,20 @@ def _two_phase_prefix(
         rn_off[pid], cum_off[pid] = total_rows, total_sum
         total_rows += stats[pid]["_n"]
         total_sum += stats[pid]["_s"] if sum_col is not None else 0
-    rn_map = F.create_map(*[F.lit(x) for kv in rn_off.items() for x in kv])
+    # ONE parsed map literal per offset map, not 2*n_parts F.lit py4j
+    # round trips (the v7 centroid-literal lesson, r18). Literal typing
+    # matches F.lit: int unless the value needs BIGINT.
+    def _map_sql(off: dict) -> str:
+        int_max = (1 << 31) - 1
+        return "map(" + ", ".join(
+            f"{k}, {v}L" if abs(v) > int_max else f"{k}, {v}"
+            for k, v in off.items()
+        ) + ")"
+
+    rn_map = F.expr(_map_sql(rn_off))
     out = local.withColumn("_rn", F.col("_lrn") + rn_map[F.col("_pid")])
     if sum_col is not None:
-        cum_map = F.create_map(*[F.lit(x) for kv in cum_off.items() for x in kv])
+        cum_map = F.expr(_map_sql(cum_off))
         out = out.withColumn("_cum", F.col("_lcum") + cum_map[F.col("_pid")])
     return out.drop("_pid", "_lrn", "_lcum"), total_rows, total_sum
 

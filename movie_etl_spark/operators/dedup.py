@@ -88,15 +88,17 @@ def _minhash_expr(i: int) -> Column:
     occurs there, and (a + i*b) mod 2^60 == (a + (i*b mod 2^60)) mod
     2^60), so signatures of the shipped default family are unchanged.
     Mirrored exactly by the DuckDB oracle (catalog._sql_minhash_sigs).
+
+    Built as ONE parsed SQL string: the former Column-builder chain was
+    ~15 py4j round trips per hash — ~590 ms of pure driver time for a
+    24-hash family, paid once per signature build (measured r18; the
+    v7 centroid-literal lesson). Same arithmetic, same ``mh_{i}`` name.
     """
-    i_bh = F.lit(i) * F.shiftright(F.col("b"), 30)
-    i_bl = F.lit(i) * F.col("b").bitwiseAND(F.lit(_MASK30))
     term = (
-        F.shiftleft(i_bh.bitwiseAND(F.lit(_MASK30)), 30) + i_bl
-    ).bitwiseAND(F.lit(_MASK60))
-    return F.min(
-        (F.col("a") + term).bitwiseAND(F.lit(_MASK60))
-    ).alias(f"mh_{i}")
+        f"(shiftleft(({i} * shiftright(b, 30)) & {_MASK30}, 30)"
+        f" + ({i} * (b & {_MASK30}))) & {_MASK60}"
+    )
+    return F.expr(f"min((a + ({term})) & {_MASK60})").alias(f"mh_{i}")
 
 
 def _signatures_from_shingles(
@@ -201,27 +203,20 @@ def near_dup_pairs_minhash(
         )
     )
     n_bands = num_hashes // band_size
+    # one parsed SQL string, not n_bands*band_size Column builders (the
+    # py4j round-trip cost — see _minhash_expr)
+    band_structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_key', md5(concat_ws('|', "
+        + ", ".join(
+            f"CAST(mh_{b * band_size + r} AS STRING)"
+            for r in range(band_size)
+        )
+        + ")))"
+        for b in range(n_bands)
+    )
     bands = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh_{b * band_size + r}").cast("string")
-                                    for r in range(band_size)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.expr(f"array({band_structs})")).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
 
     if max_band_freq is not None:
@@ -558,39 +553,34 @@ def embedding_near_dup_pairs(
         and n_vectors * n_bands <= _BAND_BROADCAST_MAX_ROWS
     )
 
-    def band_key(b: int) -> Column:
+    def band_key(b: int) -> str:
         # try_element_at, not element_at: ANSI mode (Spark 4 default)
         # makes out-of-range element_at THROW, so a corpus with vectors
         # shorter than the band bit-range would crash the whole job.
-        # try_element_at reads NULL there -> the bit maps to '0' and
-        # the row still lands in a (degenerate) bucket the band-freq
-        # cap governs; the exact-cosine verify owns correctness either
-        # way. The auto layout sizes width from the MEDIAN non-empty
-        # vector width, so this fires on any row shorter than the
-        # corpus's typical dim (and on explicit pinned widths wider
-        # than the data) — by design: a minority of short rows must
-        # not shrink the whole corpus's layout.
-        bits = [
-            F.when(
-                F.try_element_at(F.col("_v"), F.lit(b * band_size + i + 1)) >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
+        # try_element_at reads NULL there -> the bit maps to '0' (CASE
+        # ELSE, same as the former when/otherwise) and the row still
+        # lands in a (degenerate) bucket the band-freq cap governs; the
+        # exact-cosine verify owns correctness either way. The auto
+        # layout sizes width from the MEDIAN non-empty vector width, so
+        # this fires on any row shorter than the corpus's typical dim
+        # (and on explicit pinned widths wider than the data) — by
+        # design: a minority of short rows must not shrink the whole
+        # corpus's layout.
+        return "concat(" + ", ".join(
+            f"CASE WHEN try_element_at(_v, {b * band_size + i + 1}) >= 0"
+            " THEN '1' ELSE '0' END"
             for i in range(band_size)
-        ]
-        return F.concat(*bits)
+        ) + ")"
 
+    # one parsed SQL string, not n_bands*band_size Column builders (the
+    # py4j round-trip cost — see _minhash_expr)
+    band_structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_key', {band_key(b)})"
+        for b in range(n_bands)
+    )
     bands = base.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"), band_key(b).alias("band_key")
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(F.expr(f"array({band_structs})")).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
     if max_band_freq is not None:
         over_cap = (
@@ -860,17 +850,22 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     ).withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     )
+    # parsed SQL strings, not 2*bits Column-builder chains (the py4j
+    # round-trip cost — see _minhash_expr); arithmetic unchanged
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+            " THEN 1 ELSE -1 END)"
         ).alias(f"s_{b}")
         for b in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*bit_sums)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    sig = "CAST(0 AS BIGINT) + " + " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def edit_distance_pairs(

@@ -291,7 +291,17 @@ def bfs_distances(
     dist = seeds.select(
         F.col(seeds.columns[0]).cast("long").alias("src")
     ).distinct().withColumn("dist", F.lit(0).cast("long"))
-    for hop in range(max_hops):
+    for _hop in range(max_hops):
+        # the dist frame is referenced TWICE per hop (relaxation join +
+        # union), so without a cut the logical plan DOUBLES per hop —
+        # 2^hops leaf copies that runtime exchange reuse dedupes but
+        # Catalyst still plans (gr3's formatted plan: 68 Exchange nodes
+        # for 3 hops; 18 after). The lazy per-hop localCheckpoint makes
+        # every reference a leaf — linear plan growth, the same cut gr2
+        # and connected_components_star use (r18). ``checkpoint_every``
+        # is retained in the signature for callers but the per-hop cut
+        # supersedes it.
+        dist = dist.localCheckpoint(eager=False)
         relaxed = e.join(dist, "src").select(
             F.col("dst").alias("src"), (F.col("dist") + 1).alias("dist")
         )
@@ -300,8 +310,6 @@ def bfs_distances(
             .groupBy("src")
             .agg(F.min("dist").alias("dist"))
         )
-        if (hop + 1) % checkpoint_every == 0 and (hop + 1) < max_hops:
-            dist = dist.localCheckpoint()
     return dist.select(F.col("src").alias("node_id"), "dist")
 
 

@@ -47,25 +47,28 @@ def _alpha(m: int) -> float:
     return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
-def _bucket_rho(value: Column, p: int) -> tuple[Column, Column]:
-    """(bucket, rho) from the 32-bit md5-prefix hash; see module doc."""
+def _bucket_rho_sql(p: int) -> tuple[str, str]:
+    """(bucket, rho) SQL over a ``_h`` column holding the 32-bit
+    md5-prefix hash; see module doc.
+
+    Built as SQL strings, not Column chains: the former builder ran
+    w=26 nested when/otherwise wraps — ~150 py4j round trips of pure
+    driver time per sketch build (the v7 centroid-literal lesson, r18).
+    Same nested-CASE semantics: built inside-out, the innermost default
+    is the all-zero cap, and wrapping upward ends with the HIGHEST
+    bit's test outermost — so the first (leftmost) set bit wins.
+    """
     w = 32 - p
-    h = F.conv(F.substring(F.md5(value.cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    bucket = F.shiftrightunsigned(h, w).cast("int")
-    rest = h.bitwiseAND(F.lit((1 << w) - 1))
-    # nested CASE, built inside-out: the innermost default is the
-    # all-zero cap, and wrapping upward ends with the HIGHEST bit's
-    # test outermost — so the first (leftmost) set bit wins
-    rho = F.lit(w + 1)
+    bucket = f"CAST(shiftrightunsigned(_h, {w}) AS INT)"
+    rest = f"(_h & {(1 << w) - 1})"
+    rho = str(w + 1)
     for i in reversed(range(w)):  # wrap lowest-priority first
         pos = w - 1 - i  # i = 0 (outermost) tests the top remainder bit
-        rho = F.when(
-            F.shiftrightunsigned(rest, pos).bitwiseAND(F.lit(1)) == 1,
-            F.lit(i + 1),
-        ).otherwise(rho)
-    return bucket, rho.cast("int")
+        rho = (
+            f"CASE WHEN (shiftrightunsigned({rest}, {pos}) & 1) = 1"
+            f" THEN {i + 1} ELSE {rho} END"
+        )
+    return bucket, f"CAST({rho} AS INT)"
 
 
 def hll_sketch(
@@ -76,33 +79,46 @@ def hll_sketch(
 ) -> DataFrame:
     """Per-group HLL registers: ``group_cols + [registers]`` where
     ``registers`` is an array<int> of length m = 2^p. One scan, one
-    aggregate."""
+    aggregate. (Register aggregation is ONE parsed array-of-aggregates
+    expression — m=64 separate agg Column builders cost ~0.5 s of py4j
+    driver time per call, r18.)"""
     m = 1 << p
-    bucket, rho = _bucket_rho(F.col(value_col), p)
-    base = df.select(*group_cols, bucket.alias("_b"), rho.alias("_r"))
-    regs = base.groupBy(*group_cols).agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("_b") == b, F.col("_r"))), F.lit(0)
-            ).alias(f"_m{b}")
-            for b in range(m)
-        ]
-    )
-    return regs.select(
+    bucket, rho = _bucket_rho_sql(p)
+    base = df.select(
         *group_cols,
-        F.array(*[F.col(f"_m{b}") for b in range(m)]).alias("registers"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST("
+            f"{value_col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("_h"),
+    ).select(
+        *group_cols,
+        F.expr(bucket).alias("_b"),
+        F.expr(rho).alias("_r"),
+    )
+    regs_expr = "array(" + ", ".join(
+        f"coalesce(max(CASE WHEN _b = {b} THEN _r END), 0)"
+        for b in range(m)
+    ) + ")"
+    return base.groupBy(*group_cols).agg(
+        F.expr(regs_expr).alias("registers")
     )
 
 
 def hll_estimate(registers: Column, p: int = 6, decimals: int = 4) -> Column:
     """Cardinality estimate from a register array (small-range linear
     counting below 2.5m with empty registers), rounded for cross-engine
-    hash stability."""
+    hash stability.
+
+    The 2^-register sum folds left over the array (same order, and
+    0.0 + x is exact in IEEE, so the result is bit-identical to the
+    former m-term ``+`` chain) instead of building m pow/add Columns.
+    """
     m = 1 << p
-    inv_sum = None
-    for b in range(m):
-        term = F.pow(F.lit(2.0), -F.element_at(registers, b + 1))
-        inv_sum = term if inv_sum is None else inv_sum + term
+    inv_sum = F.aggregate(
+        F.transform(registers, lambda r: F.pow(F.lit(2.0), -r)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     raw = F.lit(_alpha(m) * m * m) / inv_sum
     zeros = F.size(F.filter(registers, lambda r: r == 0))
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
