@@ -59,6 +59,20 @@ def get_spark(app_name: str = "movie-etl-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NOTE (r18): Arrow batch sizing across the Python boundary
+        # (guide §4.2) audited and left at engine defaults — Spark
+        # 4.1.2 already caps every ArrowRecordBatch at BOTH 10k rows
+        # (maxRecordsPerBatch) and 64 MB (maxBytesPerBatch default
+        # 67108864b, probed live), so the multimodal family's multi-MB
+        # binary payloads are byte-bounded per batch out of the box;
+        # adding the conf here would pin it to its own default.
+        # NOTE (r18): spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold
+        # (guide §3.1's AQE SMJ->SHJ runtime rewrite) was probed at 64m
+        # and REJECTED as dead config: the rewrite fired on a synthetic
+        # fresh-shuffle join but on ZERO of the catalog's 8 SMJ-bearing
+        # queries (their join inputs are persisted/localCheckpoint
+        # frames, not plain shuffle stages, so DynamicJoinSelection
+        # never sees the map stats it needs) — see OPTIMIZATION_r18.md.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # UI off by default (benches measure compute, not the status

@@ -388,3 +388,53 @@ def test_committed_plan_audit_invariants():
         q for q, m in audit.items() if m["broadcast_nested_loop_joins"]
     } - bnlj_ok
     assert not bnlj_bad, f"unadjudicated nested-loop joins: {bnlj_bad}"
+
+
+@needs_testdata
+def test_estimate_scan_partitions_tracks_planner(spark):
+    """The r18 file-size split estimate must stay within ±1 of the
+    planner's real split count on scan-rooted frames (the decision band
+    in ensure_parallelism is orders of magnitude wide, so ±1 can never
+    flip a fan-out decision that matters), and must decline frames
+    whose runtime partitioning is decided above the scan."""
+    from movie_etl_spark.session import (
+        _estimate_scan_partitions,
+        load_table,
+    )
+
+    for table in ("region", "orders", "documents"):
+        df = load_table(spark, TESTDATA_SF0001, table)
+        est = _estimate_scan_partitions(df)
+        assert est is not None, f"{table}: estimator declined a scan"
+        exact = df.rdd.getNumPartitions()
+        assert abs(est - exact) <= 1, (
+            f"{table}: estimate {est} vs planner {exact}"
+        )
+
+    from pyspark.sql import functions as F
+
+    grouped = (
+        load_table(spark, TESTDATA_SF0001, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert _estimate_scan_partitions(grouped) is None
+
+
+def test_pysource_arrow_batch_matches_row_path():
+    """s8's Arrow read path (one RecordBatch per page) must stay
+    value-identical to the tuple generator it replaced, column types
+    pinned to the declared DataSource schema."""
+    import pyarrow as pa
+
+    from movie_etl_spark.sources.pysource import _page_batch, _page_rows
+
+    for page, per_page in ((0, 7), (3, 250)):
+        batch = _page_batch(page, per_page)
+        assert isinstance(batch, pa.RecordBatch)
+        assert batch.schema.names == ["page", "movie_id", "score", "title"]
+        assert [f.type for f in batch.schema] == [
+            pa.int32(), pa.int64(), pa.int32(), pa.string(),
+        ]
+        got = list(zip(*(col.to_pylist() for col in batch.columns)))
+        assert got == list(_page_rows(page, per_page))
