@@ -156,7 +156,17 @@ def pagerank_fixed_point(
         return state.select(F.col("src").alias("node_id"), "rank")
 
     ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
-    for it in range(iterations):
+    for _ in range(iterations):
+        # Per-iteration lazy lineage cut (r18): without it, iteration
+        # i's logical plan embeds — and Catalyst RE-PLANS — every
+        # earlier iteration's whole subtree, so planning work grows
+        # quadratically with iterations (runtime exchange reuse deduped
+        # the execution, never the planning). The cut makes each
+        # iteration's plan a leaf + one join/agg layer, the same shape
+        # the dangling variant, gr3's BFS, and connected_components_star
+        # use. ``checkpoint_every`` is retained in the signature for
+        # callers but the per-iteration cut supersedes it.
+        ranks = ranks.localCheckpoint(eager=False)
         incoming = (
             edges_deg.join(ranks, "src")
             .select("dst", F.expr("rank div deg").alias("contrib"))
@@ -171,8 +181,6 @@ def pagerank_fixed_point(
                 + F.expr(f"({damp_num} * coalesce(inc, 0)) div {damp_den}")
             ).cast("long").alias("rank"),
         )
-        if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
-            ranks = ranks.localCheckpoint()
     return ranks.select(F.col("src").alias("node_id"), "rank")
 
 
