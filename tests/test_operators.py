@@ -372,8 +372,14 @@ def test_pagerank_without_nodes_param_ignores_sinks(spark):
 
 def test_pagerank_plan_has_two_joins_per_iteration(spark):
     """The invariant (src, dst, deg) join is hoisted out of the loop
-    (r6 verdict): adding an iteration must add exactly TWO join nodes
-    (ranks onto edges_deg + left join onto the node table), not three."""
+    (r6 verdict): an iteration plans exactly TWO join nodes (ranks onto
+    edges_deg + left join onto the node table), not three. Since the
+    r18 per-iteration lineage cut, earlier iterations are checkpoint
+    LEAVES (LogicalRDD) in the final frame's plan, so the observable
+    contract is a CONSTANT two joins at any iteration count — a third
+    join node, or any growth with iterations, means either the
+    invariant join slid back into the loop or the lineage cut was
+    lost."""
     from movie_etl_spark.operators.graph_algos import pagerank_fixed_point
     from movie_etl_spark.session import release_caches
 
@@ -381,22 +387,30 @@ def test_pagerank_plan_has_two_joins_per_iteration(spark):
         [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
     )
 
-    def n_joins(iters: int) -> int:
+    def joins_and_leaves(iters: int) -> tuple[int, int]:
         # walk the optimized logical tree; InMemoryRelation (the cached
-        # one-time edges+deg join) is a LEAF there, so only per-iteration
-        # joins are counted (its embedded plan would pollute a string count)
+        # one-time edges+deg join) and LogicalRDD (the per-iteration
+        # checkpoint) are LEAVES there, so only the last iteration's
+        # joins are counted (embedded plans would pollute a string count)
         df = pagerank_fixed_point(edges, iters)
-        count = 0
+        joins = rdd_leaves = 0
         stack = [df._jdf.queryExecution().optimizedPlan()]
         while stack:
             node = stack.pop()
             if "Join" in node.nodeName():
-                count += 1
+                joins += 1
+            if "LogicalRDD" in node.nodeName():
+                rdd_leaves += 1
             for i in range(node.children().length()):
                 stack.append(node.children().apply(i))
-        return count
+        return joins, rdd_leaves
 
-    assert n_joins(3) - n_joins(1) == 2 * 2
+    for iters in (1, 3):
+        joins, rdd_leaves = joins_and_leaves(iters)
+        assert joins == 2, f"iters={iters}: {joins} joins planned, want 2"
+        assert rdd_leaves >= 1, (
+            f"iters={iters}: no checkpoint leaf — lineage cut lost"
+        )
     release_caches()
 
 
