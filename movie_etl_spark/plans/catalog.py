@@ -5350,79 +5350,79 @@ def q_mm10_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # -- r18 rotation (VERDICT r17 item #1). Window = 50 slots:
-    #    the 18 r15-green queries lead (at the 2-round staleness bound
-    #    after r17 — tools/ledger.py printed exactly this list), then
-    #    the first 32 of the 50 r16-green queries.  Both cohorts
+    # -- r19 rotation (VERDICT r18 item #1). Window = 50 slots:
+    #    the 18 r16-green queries parked below the r18 window lead
+    #    (2 rounds stale after r18 — tools/ledger.py printed exactly
+    #    this list as staleness violations at round open), then the
+    #    first 32 of the 50 r17-green queries.  Both cohorts
     #    sorted() over the FULL query names (byte-wise lexicographic:
-    #    digits before underscore, so mm10 precedes mm1_ — the rule,
-    #    not a slip).  Steady-state 3-round cycle {r17: 50, r16: 50,
-    #    r15: 18} — with this window green the cohorts become
-    #    {r18: 50, r17: 50, r16: 18} and r19's mandatory front-load is
-    #    exactly the 18 parked r16-greens below.  Verified
-    #    mechanically: tools/ledger.py + tests/test_rotation.py.
-    #    Policy in BASELINE.md. ------------------------------------
-    # -- r15-green cohort (MUST lead; 2 rounds stale after r17) -----
-    "k8_incremental_watermark",
-    "mm10_g711_audio",
-    "mm1_multimodal_features",
-    "mm2_frame_sampling",
-    "mm3_image_decode",
-    "mm4_audio_decode",
-    "mm5_png_decode",
-    "mm6_perceptual_hash",
-    "mm7_gif_decode",
-    "p1_pivot",
-    "r1_explode_tokens",
-    "s6_jsonl_round_trip",
-    "set1_except",
-    "t3_winnowing_fingerprints",
-    "t4_bpe_token_count",
-    "v4_embedding_quantize",
-    "w3_event_gaps",
-    "x1_throttled_fetch",
-    # -- r16-green rotation cohort (first 32 of 50, sorted()) ------
-    "a7_time_rollup",
-    "a8_spearman_corr",
-    "cc1_contamination_check",
-    "cp2_hash_split",
-    "cp6_temperature_mix",
-    "d1_anti_join",
-    "d4_merge_dedup",
-    "d5_scd2_merge",
-    "d6_cdc_apply",
-    "d7_incremental_agg",
-    "dd10_fuzzy_pairs",
-    "dd3_minhash_near_dups",
-    "dd6_embedding_near_dups",
-    "dd7_dup_clusters",
-    "dd9_dedup_apply",
-    "dq1_quality_checks",
-    "f9_html_extract",
-    "g1_clean_explode_edges",
-    "g2_full_graph_parity",
-    "gr1_pagerank",
-    "gr2_pagerank_dangling",
-    "gr3_bfs_distances",
-    "gr4_triangle_counts",
-    "hh1_heavy_hitters",
-    "hll1_mergeable_sketch",
-    "j1_semi_join",
-    "j3_broadcast_dim_join",
-    "j4_hierarchy_closure",
-    "j5_fact_fact_join",
-    "j6_asof_join",
-    "j7_range_join",
-    "k7_rollback",
-    # -- parked below the window (r19 mandatory front-load): the
-    #    remaining 18 r16-green queries (
-    #    r4_group_collect, s1_discover, s5_seeded_dim_join,
-    #    s8_python_datasource, set2_intersect, st2_session_windows,
-    #    st3_stateful_counts, st7_stream_outer_join, t1_text_stats,
-    #    t2_language_id, u1_udtf_ngrams, v1_brute_force_top_k,
-    #    v3_ivf_top_k, v6_int8_rerank, w1_latest_order_per_customer,
-    #    w2_running_sum, w4_interval_range_window, z1_zorder_key,
-    #    ) MUST lead r19's window, then 32 of the 50 r17-greens in
+    #    digits before underscore).  Steady-state 3-round cycle
+    #    {r18: 50, r17: 50, r16: 18} — with this window green the
+    #    cohorts become {r19: 50, r18: 50, r17: 18} and r20's
+    #    mandatory front-load is the 18 parked r17-greens below.
+    #    Verified mechanically: tools/ledger.py +
+    #    tests/test_rotation.py.  Policy in BASELINE.md. ----------
+    # -- r16-green cohort (MUST lead; 2 rounds stale after r18) ----
+    "r4_group_collect",
+    "s1_discover",
+    "s5_seeded_dim_join",
+    "s8_python_datasource",
+    "set2_intersect",
+    "st2_session_windows",
+    "st3_stateful_counts",
+    "st7_stream_outer_join",
+    "t1_text_stats",
+    "t2_language_id",
+    "u1_udtf_ngrams",
+    "v1_brute_force_top_k",
+    "v3_ivf_top_k",
+    "v6_int8_rerank",
+    "w1_latest_order_per_customer",
+    "w2_running_sum",
+    "w4_interval_range_window",
+    "z1_zorder_key",
+    # -- r17-green rotation cohort (first 32 of 50, sorted()) ------
+    "a1_pricing_summary",
+    "a2_distinct_agg",
+    "a3_rollup",
+    "a4_group_median",
+    "a5_cube",
+    "a6_grouping_sets",
+    "ap1_approx_count_distinct",
+    "ap2_exact_percentile",
+    "ap3_approx_percentile",
+    "b1_bucketed_join",
+    "bp1_boilerplate_lines",
+    "c1_sentinel_project",
+    "c5_decode_map",
+    "cc2_fingerprint_decontam",
+    "cp1_quality_filter",
+    "cp3_pack_sequences",
+    "cp4_length_buckets",
+    "cp5_stratified_sample",
+    "dd1_exact_dedup",
+    "dd2_minhash_signatures",
+    "dd4_ngram_jaccard",
+    "dd5_simhash",
+    "dd8_semantic_clusters",
+    "f10_json_props",
+    "f11_url_extract",
+    "f12_variant_json",
+    "f1_magnitude_parse",
+    "f2_score_scale",
+    "f3_regex_extract",
+    "f4_count_parsers",
+    "f6_edge_builder",
+    "f7_date_functions",
+    # -- parked below the window (r20 mandatory front-load): the
+    #    remaining 18 r17-green queries (
+    #    mm8_jpeg_roundtrip, mm9_palette_png, o1_top_k,
+    #    pii1_pii_scrub, sk1_salted_hot_key_count, sk2_salted_skew_join,
+    #    st1_windowed_counts, st4_streaming_dedup, st5_stream_stream_join,
+    #    st6_stream_static_join, t5_repetition_quality, t6_unigram_logprob,
+    #    t7_tfidf_top_terms, ts1_gap_fill_locf, v2_lsh_top_k,
+    #    v5_bm25_search, v7_kmeans_clusters, w5_event_funnel,
+    #    ) MUST lead r20's window, then 32 of the 50 r18-greens in
     #    sorted order.  All parked queries stay registered — benched
     #    by bench.py and hash-checked by tools/selfcheck.py at four
     #    scales. -----------------------------------------------------
