@@ -216,6 +216,24 @@ _NON_SCAN_PLAN_NODES = (
     "Deduplicate", "Distinct", "GlobalLimit",
 )
 
+#: split-estimate memo (r19, VERDICT r18 item #4). ensure_parallelism
+#: runs ~41 times per catalog pass, mostly over the same handful of
+#: tables, and the per-file ``getsize`` loop is O(files) driver work
+#: per call. The memo keys on the resolved file list plus every conf
+#: the estimate depends on, so a repeat call over the same table is a
+#: dict hit with ZERO stat syscalls. Process-local metadata only —
+#: never persisted, never keyed on query results — and bench/oracle
+#: inputs are immutable parquet for the life of a session, so cached
+#: sizes cannot go stale mid-run.
+_SPLIT_MEMO: dict[tuple, int] = {}
+_SPLIT_MEMO_MAX = 128  # distinct (file-set, conf) shapes per session
+
+#: above this many files the size loop STRIDE-SAMPLES instead of
+#: stat-ing every file (total extrapolated from the sample mean), so
+#: a million-file local scan costs 10k stats once, then memo hits —
+#: never O(files) on the hot path.
+_SPLIT_STAT_CAP = 10_000
+
 
 def _estimate_scan_partitions(df: DataFrame) -> int | None:
     """Estimate the scan split count from file sizes — driver-side
@@ -233,7 +251,15 @@ def _estimate_scan_partitions(df: DataFrame) -> int | None:
 
     Returns None (caller falls back to the exact probe) when the frame
     is not scan-rooted (shuffle/broadcast above the scan), reads
-    non-local files, or has no file source at all.
+    non-local files, or has no file source at all. (Non-``file:``
+    schemes have no cheap driver-side size call here; at an
+    object-store deployment ``ensureParallelism.enabled=false`` remains
+    the intended no-op path — the input already has thousands of
+    splits.)
+
+    Repeat calls over the same file set are memoized (``_SPLIT_MEMO``)
+    and huge listings are stride-sampled (``_SPLIT_STAT_CAP``), so the
+    stat loop is bounded and runs at most once per distinct table.
     """
     try:
         plan = df._jdf.queryExecution().analyzed().toString()
@@ -244,21 +270,42 @@ def _estimate_scan_partitions(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
+    spark = df.sparkSession
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    # hash(tuple) is pure CPU (~ns/file), vs a stat syscall per file;
+    # len guards the astronomically unlikely hash collision down to
+    # same-length collisions, whose worst case is a fan-out decision,
+    # never a wrong result.
+    key = (hash(tuple(files)), len(files), open_cost, max_part, cores)
+    cached = _SPLIT_MEMO.get(key)
+    if cached is not None:
+        return cached
+    sample = files
+    if len(files) > _SPLIT_STAT_CAP:
+        # deterministic stride sample; parquet files in one table dir
+        # are near-uniform, so the extrapolated total lands within the
+        # decision band (and the split math pads per-file open cost
+        # with the EXACT file count regardless)
+        sample = files[:: -(-len(files) // _SPLIT_STAT_CAP)]
     total = 0
-    for f in files:
+    for f in sample:
         if not f.startswith("file:"):
             return None
         try:
             total += os.path.getsize(f.removeprefix("file:"))
         except OSError:
             return None
-    spark = df.sparkSession
-    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20)
-    max_part = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    if len(sample) < len(files):
+        total = total * len(files) // len(sample)
     padded = total + len(files) * open_cost
-    cores = max(1, spark.sparkContext.defaultParallelism)
     max_split = min(max_part, max(open_cost, padded // cores))
-    return max(1, -(-padded // max(1, max_split)))
+    splits = max(1, -(-padded // max(1, max_split)))
+    if len(_SPLIT_MEMO) >= _SPLIT_MEMO_MAX:
+        _SPLIT_MEMO.clear()
+    _SPLIT_MEMO[key] = splits
+    return splits
 
 
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:

@@ -421,6 +421,51 @@ def test_estimate_scan_partitions_tracks_planner(spark):
     assert _estimate_scan_partitions(grouped) is None
 
 
+@needs_testdata
+def test_estimate_scan_partitions_memo_and_stat_cap(spark, tmp_path, monkeypatch):
+    """r19 (VERDICT r18 item #4): a repeat estimate over the same file
+    set must be a memo hit (zero stat syscalls), and a listing larger
+    than the stat cap must stride-sample instead of stat-ing every
+    file — no O(files) loop on the hot path — while still agreeing
+    with the planner within ±1 split."""
+    import os as _os
+
+    from movie_etl_spark import session as sess
+    from movie_etl_spark.session import _estimate_scan_partitions, load_table
+
+    monkeypatch.setattr(sess, "_SPLIT_MEMO", {})
+    calls = {"n": 0}
+    real_getsize = _os.path.getsize
+
+    def counting_getsize(path):
+        calls["n"] += 1
+        return real_getsize(path)
+
+    monkeypatch.setattr(sess.os.path, "getsize", counting_getsize)
+
+    df = load_table(spark, TESTDATA_SF0001, "orders")
+    first = _estimate_scan_partitions(df)
+    assert first is not None and calls["n"] > 0
+    stats_after_first = calls["n"]
+    again = _estimate_scan_partitions(load_table(spark, TESTDATA_SF0001, "orders"))
+    assert again == first
+    assert calls["n"] == stats_after_first, "memo hit must not re-stat"
+
+    # sampling path: 8 near-uniform files, cap forced below the count
+    out = str(tmp_path / "many_files")
+    df.limit(800).repartition(8).write.parquet(out)
+    monkeypatch.setattr(sess, "_SPLIT_STAT_CAP", 4)
+    many = spark.read.parquet(out)
+    calls["n"] = 0
+    est = _estimate_scan_partitions(many)
+    n_files = len(many.inputFiles())
+    assert n_files > 4
+    assert calls["n"] <= 4, "stat loop must be capped at the sample size"
+    assert est is not None
+    exact = many.rdd.getNumPartitions()
+    assert abs(est - exact) <= 1, f"sampled estimate {est} vs planner {exact}"
+
+
 def test_pysource_arrow_batch_matches_row_path():
     """s8's Arrow read path (one RecordBatch per page) must stay
     value-identical to the tuple generator it replaced, column types
