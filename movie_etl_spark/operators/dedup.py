@@ -793,20 +793,26 @@ def dup_clusters(
         # decreasing — one cheap aggregate per round instead of an
         # old-vs-new join (the lazy checkpoint makes it double as the
         # round's materializer: one job per round, not two)
+        # per-round lineage cut via the shared helper so the
+        # reliable-checkpoint deployment knob (graph_algos._cut_lineage)
+        # covers this loop too; default path unchanged (lazy local cut)
+        from movie_etl_spark.operators.graph_algos import _cut_lineage
+
         prev_sum = None
         converged = False
-        for _ in range(max_iterations):
+        for _round in range(max_iterations):
             msgs = edges.join(
                 labels.select(F.col("node").alias("dst"), "label"), "dst"
             ).select(F.col("src").alias("node"), "label")
-            labels = (
+            labels = _cut_lineage(
                 labels.unionByName(msgs)
                 # pre-hash on node at loop-sized parallelism: the
                 # groupBy reuses this exact partitioning
                 .repartition(n_parts, "node")
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=False)
+                .agg(F.min("label").alias("label")),
+                _round,
+                5,
             )
             cur_sum = labels.agg(F.sum("label")).collect()[0][0]
             if cur_sum == prev_sum:

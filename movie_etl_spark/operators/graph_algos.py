@@ -28,6 +28,49 @@ from pyspark.sql import functions as F
 
 from movie_etl_spark.session import cache_tracked
 
+#: conf key that opts the BSP loops into RELIABLE checkpoints (see
+#: :func:`_cut_lineage`); off by default so local plans stay byte-stable.
+RELIABLE_CHECKPOINT_CONF = "spark.movie_etl.reliableCheckpoint.enabled"
+
+
+def _cut_lineage(df: DataFrame, iteration: int, checkpoint_every: int) -> DataFrame:
+    """Per-iteration lineage cut for the iterative BSP loops.
+
+    Default path: lazy ``localCheckpoint`` — each reference of the
+    state becomes a leaf, so Catalyst plans one join/agg layer per
+    iteration instead of replaying every earlier iteration's subtree
+    (plan growth linear, not quadratic/exponential). Two trades, both
+    deliberate (ADVICE r18): (a) every iteration's state RDD stays
+    persisted (MEMORY_AND_DISK) for the session — node-sized frames,
+    O(iterations) of them, outside cache_tracked because local-
+    checkpoint blocks cannot be safely unpersisted; (b) the truncated
+    lineage is NOT fault-tolerant — on a real cluster an executor loss
+    mid-loop fails the job, and the stats-less LogicalRDD leaf pins
+    these joins to sort-merge (Catalyst can never pick broadcast for a
+    leaf it cannot size).
+
+    Cluster deployments close the fault-tolerance gap by setting
+    ``spark.movie_etl.reliableCheckpoint.enabled=true`` AND
+    ``sc.setCheckpointDir(<hdfs/object-store path>)``: every
+    ``checkpoint_every``-th iteration then writes the state through
+    ``DataFrame.checkpoint`` (reliable storage — recomputable-after-
+    executor-loss), while the other iterations keep the cheap local
+    cut. With the knob off (the default, and the bench configuration)
+    the plan shape is unchanged — pinned by the pagerank/BFS plan
+    tests. ``checkpoint_every <= 0`` disables the reliable cadence.
+    """
+    if (
+        checkpoint_every > 0
+        and (iteration + 1) % checkpoint_every == 0
+    ):
+        spark = df.sparkSession
+        if (
+            spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false") == "true"
+            and spark.sparkContext.getCheckpointDir() is not None
+        ):
+            return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
 
 def pagerank_fixed_point(
     edges: DataFrame,
@@ -66,12 +109,14 @@ def pagerank_fixed_point(
     is a 1-row aggregate attached by broadcast crossJoin — never a
     driver-side collect.
 
-    ``checkpoint_every``: the rank frame's lineage grows one join+agg
-    layer per iteration; past a handful of layers Catalyst's plan
-    compilation, not the data, becomes the cost. Every N iterations the
-    chain is cut with ``localCheckpoint`` (the same guard dd7's label
-    propagation uses) so deep runs stay O(iterations) instead of
-    O(iterations * plan-depth).
+    Lineage: EVERY iteration cuts the chain (lazy ``localCheckpoint``
+    via :func:`_cut_lineage`) so planning stays linear in iterations —
+    see the helper's docstring for the storage-accumulation and
+    fault-tolerance trades that come with it. ``checkpoint_every``
+    selects the RELIABLE-checkpoint cadence when the deployment opts
+    in (``spark.movie_etl.reliableCheckpoint.enabled=true`` plus a
+    ``setCheckpointDir``); with the knob off (default) it has no
+    effect on the per-iteration local cut.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -123,8 +168,8 @@ def pagerank_fixed_point(
         state = deg.select(
             "src", "deg", F.lit(scale).cast("long").alias("rank")
         )
-        for _ in range(iterations):
-            state = state.localCheckpoint(eager=False)
+        for _i in range(iterations):
+            state = _cut_lineage(state, _i, checkpoint_every)
             incoming = (
                 edges_deg.join(state.select("src", "rank"), "src")
                 .select("dst", F.expr("rank div deg").alias("contrib"))
@@ -156,7 +201,7 @@ def pagerank_fixed_point(
         return state.select(F.col("src").alias("node_id"), "rank")
 
     ranks = deg.select("src", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
+    for _i in range(iterations):
         # Per-iteration lazy lineage cut (r18): without it, iteration
         # i's logical plan embeds — and Catalyst RE-PLANS — every
         # earlier iteration's whole subtree, so planning work grows
@@ -164,9 +209,9 @@ def pagerank_fixed_point(
         # the execution, never the planning). The cut makes each
         # iteration's plan a leaf + one join/agg layer, the same shape
         # the dangling variant, gr3's BFS, and connected_components_star
-        # use. ``checkpoint_every`` is retained in the signature for
-        # callers but the per-iteration cut supersedes it.
-        ranks = ranks.localCheckpoint(eager=False)
+        # use; trades and the reliable-checkpoint opt-in live in
+        # _cut_lineage.
+        ranks = _cut_lineage(ranks, _i, checkpoint_every)
         incoming = (
             edges_deg.join(ranks, "src")
             .select("dst", F.expr("rank div deg").alias("contrib"))
@@ -187,6 +232,7 @@ def pagerank_fixed_point(
 def connected_components_star(
     edges: DataFrame,
     max_rounds: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -218,7 +264,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         # large-star
         nbrs = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -244,8 +290,10 @@ def connected_components_star(
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(mins2.select("src", F.col("m").alias("dst")))
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        # per-round lineage cut; _cut_lineage documents the trades and
+        # the reliable-checkpoint opt-in selected by checkpoint_every
+        small = _cut_lineage(small, _round, checkpoint_every)
         # exact fixpoint probe: both sets are distinct, so equal size +
         # empty one-sided difference == equality
         if (
@@ -306,10 +354,9 @@ def bfs_distances(
         # Catalyst still plans (gr3's formatted plan: 68 Exchange nodes
         # for 3 hops; 18 after). The lazy per-hop localCheckpoint makes
         # every reference a leaf — linear plan growth, the same cut gr2
-        # and connected_components_star use (r18). ``checkpoint_every``
-        # is retained in the signature for callers but the per-hop cut
-        # supersedes it.
-        dist = dist.localCheckpoint(eager=False)
+        # and connected_components_star use (r18); trades and the
+        # reliable-checkpoint opt-in live in _cut_lineage.
+        dist = _cut_lineage(dist, _hop, checkpoint_every)
         relaxed = e.join(dist, "src").select(
             F.col("dst").alias("src"), (F.col("dist") + 1).alias("dist")
         )
