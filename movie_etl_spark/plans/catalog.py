@@ -2102,10 +2102,15 @@ def q_g2_full_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 17 branch re-reads stream through the OS page cache while the
     # whole unified pool stays available to the branch sorts/aggs —
     # measured A/B in BASELINE.md "r11: g2 at sf3/8g".
+    # LAZY since r19 (VERDICT r18 item #3): build_movie_graph's
+    # size-probe count is the first action over this frame, so ONE job
+    # now materializes the corpus blocks AND returns the count — the
+    # former eager shape paid a separate full-corpus disk re-read just
+    # to count the rows it had only just written.
     from pyspark.storagelevel import StorageLevel
 
     clean = clean_movie_details(raw).localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
     )
 
     companies = spark.range(1, 11).select(
