@@ -1,7 +1,7 @@
-"""Dump .explain("formatted") for named catalog queries to plans/r18/.
+"""Dump .explain("formatted") for named catalog queries to plans/<round>/.
 
 Usage: python tools/explain_dump.py <suffix> <query> [query ...]
-Writes plans/r18/<query>_<suffix>.txt
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r19)
 """
 from __future__ import annotations
 
@@ -17,7 +17,9 @@ from movie_etl_spark.session import get_spark  # noqa: E402
 from movie_etl_spark.operators.dedup import release_indexes  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(REPO, "plans", "r18")
+OUT = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r19")
+)
 
 
 def main() -> None:
