@@ -3045,16 +3045,31 @@ def q_b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in (t_orders, t_custs):
             if not spark.catalog.tableExists(t):
                 shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
-        _t(spark, sf_dir, "orders").select(
-            "o_custkey", "o_totalprice"
-        ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
-            "overwrite"
-        ).saveAsTable(t_orders)
-        _t(spark, sf_dir, "customer").select(
-            "c_custkey", "c_mktsegment"
-        ).write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
-            "overwrite"
-        ).saveAsTable(t_custs)
+
+        # r19: the two bucketing investments are independent write jobs
+        # over DIFFERENT source tables into different table dirs — run
+        # them concurrently (guide §2.6) instead of serializing the
+        # small customer write behind the orders write
+        def bucket(src: str, cols: tuple[str, str], key: str, table: str):
+            _t(spark, sf_dir, src).select(*cols).write.bucketBy(
+                8, key
+            ).sortBy(key).mode("overwrite").saveAsTable(table)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            jobs = [
+                pool.submit(
+                    bucket, "orders", ("o_custkey", "o_totalprice"),
+                    "o_custkey", t_orders,
+                ),
+                pool.submit(
+                    bucket, "customer", ("c_custkey", "c_mktsegment"),
+                    "c_custkey", t_custs,
+                ),
+            ]
+            for j in jobs:
+                j.result()
     orders = spark.table(t_orders)
     custs = spark.table(t_custs)
     # merge hint: without it the tiny dim would broadcast and the
